@@ -1,0 +1,112 @@
+package graft.kernels
+
+import java.util.Random
+
+/** MinHash (Jaccard LSH) signature model.
+  *
+  * Faithful re-implementation of the reference's math —
+  * `/root/reference/elastiknn-models/src/main/java/com/klibisz/elastiknn/models/JaccardLshModel.java:27-63`:
+  *   - parameters `A[L*k]`, `B[L*k]` drawn as `rng.nextInt(HASH_PRIME - 1)`
+  *     from a `java.util.Random(seed)` (the reference always seeds 0 via its
+  *     `ModelCache.scala:17-21` — determinism by seed, never stored state);
+  *   - per-element hash `((1 + ti) * a + b) % HASH_PRIME` with
+  *     `HASH_PRIME = 2038074743` (`HashingModel.java:5`), evaluated in
+  *     *32-bit int arithmetic including Java overflow semantics* so our
+  *     minima equal the reference's bit-for-bit on identical input sets;
+  *   - per table (band) the hash is the concatenation of the k minima,
+  *     prefixed by the table index (`writeIntsWithPrefix(ixL, ints)`,
+  *     `JaccardLshModel.java:59`) — here mixed into one Long instead of a
+  *     byte array (information-equivalent, shuffle-friendlier);
+  *   - the empty set hashes to the sentinel `HASH_PRIME`
+  *     (`JaccardLshModel.java:43-45`), so empty documents all land in the
+  *     same buckets and are mutual duplicate candidates.
+  *
+  * Inputs are 64-bit shingle hashes; each is folded to a 32-bit value before
+  * the universal-hash formula, matching the reference's int-universe
+  * `trueIndices` domain.
+  *
+  * @param numTables L — number of bands / hash tables
+  * @param rowsPerBand k — number of minhash functions concatenated per band
+  * @param seed model parameter seed (reference pins 0)
+  */
+final class MinHashModel(val numTables: Int, val rowsPerBand: Int, val seed: Long = 0L)
+    extends Serializable {
+  import MinHashModel._
+
+  private val A: Array[Int] = new Array[Int](numTables * rowsPerBand)
+  private val B: Array[Int] = new Array[Int](numTables * rowsPerBand)
+  locally {
+    val rng = new Random(seed)
+    var i = 0
+    while (i < A.length) { A(i) = rng.nextInt(HashPrime - 1); i += 1 }
+    i = 0
+    while (i < B.length) { B(i) = rng.nextInt(HashPrime - 1); i += 1 }
+  }
+
+  private val emptyBands: Array[Long] = {
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) { out(t) = Hashing.mix64(t.toLong, HashPrime.toLong); t += 1 }
+    out
+  }
+
+  /** Raw minima matrix (L*k ints) — exposed for kernel-parity tests against
+    * the reference formula.
+    */
+  def minima(shingles: Array[Long]): Array[Int] = {
+    val out = new Array[Int](numTables * rowsPerBand)
+    var i = 0
+    while (i < out.length) {
+      val a = A(i)
+      val b = B(i)
+      var mn = Int.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        // 32-bit arithmetic with Java overflow, exactly JaccardLshModel.java:55
+        val ti = Hashing.fold32(shingles(j))
+        val h = ((1 + ti) * a + b) % HashPrime
+        if (h < mn) mn = h
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    out
+  }
+
+  /** L band hashes (one Long per table): mix of table index + its k minima.
+    * Empty input → the sentinel bands (≙ `JaccardLshModel.java:43-45`).
+    */
+  def bandHashes(shingles: Array[Long]): Array[Long] = {
+    if (shingles.isEmpty) return emptyBands
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var h = Hashing.mix64(seed ^ 0x6a09e667f3bcc909L, t.toLong)
+      var r = 0
+      while (r < rowsPerBand) {
+        val i = t * rowsPerBand + r
+        val a = A(i)
+        val b = B(i)
+        var mn = Int.MaxValue
+        var j = 0
+        while (j < shingles.length) {
+          val ti = Hashing.fold32(shingles(j))
+          val hh = ((1 + ti) * a + b) % HashPrime
+          if (hh < mn) mn = hh
+          j += 1
+        }
+        h = Hashing.mix64(h, mn.toLong)
+        r += 1
+      }
+      out(t) = h
+      t += 1
+    }
+    out
+  }
+}
+
+object MinHashModel {
+  /** ≙ `HashingModel.HASH_PRIME`, `/root/reference/.../models/HashingModel.java:5`. */
+  val HashPrime: Int = 2038074743
+}
