@@ -1,0 +1,33 @@
+package graft
+
+import graft.kernels.Shingler
+
+/** Pipeline configuration — the analog of the reference's `Mapping`
+  * hyperparameter tuples (`/root/reference/elastiknn-api4s/.../api/Mapping.scala:3-21`).
+  * Like the reference, all model parameters are *derived from the seed* at
+  * use time, never stored (`ModelCache.scala:17-21`,
+  * `docs/pages/internals.md` "Storing Model Parameters"); this case class is
+  * tiny and broadcast-friendly.
+  *
+  * @param shingleK       shingle width (tokens for Words mode, chars for Chars)
+  * @param shingleMode    Words or Chars
+  * @param numTables      L — number of MinHash bands/tables (≙ Mapping.JaccardLsh.L)
+  * @param rowsPerBand    k — minhashes concatenated per band (≙ Mapping.JaccardLsh.k)
+  * @param seed           model seed (reference pins 0)
+  * @param minBands       candidate threshold: pairs must share ≥ this many bands
+  *                       (batch analog of the reference's `candidates` knob, §2.5 C3)
+  * @param theta          verify threshold θ on exact Jaccard (≙ C5 exact re-score filter)
+  * @param bucketCap      max ids per LSH bucket before salted splitting kicks in (§7.4 skew)
+  * @param simHashBands   bands for the 64-bit SimHash fingerprint path (must divide 64)
+  */
+final case class DedupConfig(
+    shingleK: Int = 3,
+    shingleMode: Shingler.Mode = Shingler.Words,
+    numTables: Int = 64,
+    rowsPerBand: Int = 2,
+    seed: Long = 0L,
+    minBands: Int = 1,
+    theta: Double = 0.8,
+    bucketCap: Int = 512,
+    simHashBands: Int = 8
+) extends Serializable

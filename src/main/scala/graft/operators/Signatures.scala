@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.DedupConfig
+import graft.kernels.{MinHashModel, Shingler, SimHashModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One signature row (≙ the reference's indexed document: exact payload +
+  * hash terms, SURVEY §2.1 S4/S5).
+  */
+final case class SignatureRow(
+    conv_id: String,
+    n_turns: Int,
+    shingles: Array[Long],
+    n_shingles: Int,
+    bands: Array[Long],
+    simhash: Long
+)
+
+/** The signatures stage — the batch analog of the reference's write path
+  * (`HashingQuery.scala:88-100` turning a vector into stored hash terms).
+  *
+  * `mapPartitions` kernel with the MinHash model instantiated **once per
+  * partition** from the seed — the same hoist-the-decoder/derive-from-seed
+  * pattern the reference uses (`StoredVecReader.scala:9-11` one-time decode,
+  * `ModelCache.scala:17-21` seeded recompute). Nothing is broadcast but the
+  * tiny config captured in the closure; no shuffle is introduced (narrow
+  * map over whatever partitioning the docs already have).
+  *
+  * Output columns:
+  *   - `shingles: Array[Long]` — sorted distinct shingle hashes (the
+  *     ≙Vec.SparseBool payload, kept for the exact-verify stage ≙ the
+  *     reference's binary doc-value S4)
+  *   - `bands: Array[Long]` — L MinHash band hashes (≙ the L Lucene terms)
+  *   - `simhash: Long` — 64-bit SimHash fingerprint (Hamming path)
+  */
+object Signatures {
+
+  /** docs must have (conv_id, doc_text[, n_turns]). */
+  def signatures(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    val hasTurns = docs.columns.contains("n_turns")
+    val in: org.apache.spark.sql.Dataset[(String, String, Int)] =
+      if (hasTurns) docs.selectExpr("conv_id", "coalesce(doc_text, '') as doc_text", "n_turns").as[(String, String, Int)]
+      else docs.selectExpr("conv_id", "coalesce(doc_text, '') as doc_text", "cast(-1 as int) as n_turns").as[(String, String, Int)]
+    in.mapPartitions { iter =>
+      // Model instantiated once per partition, derived from seed only.
+      val model = new MinHashModel(cfg.numTables, cfg.rowsPerBand, cfg.seed)
+      iter.map { case (convId, text, nTurns) =>
+        val sh = Shingler.shingles(text, cfg.shingleK, cfg.shingleMode, cfg.seed)
+        SignatureRow(convId, nTurns, sh, sh.length, model.bandHashes(sh), SimHashModel.fingerprint(sh, cfg.seed))
+      }
+    }.toDF()
+  }
+}

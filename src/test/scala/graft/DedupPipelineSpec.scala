@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.TranscriptGen
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end contract tests (SURVEY §5 layer 4, ≙ RecallSuite):
+  *   - dup-pair recall ≥ 0.99 vs the exact-Jaccard all-pairs oracle at the
+  *     same shingle/L/k config (north rule);
+  *   - precision = 1.0 (every emitted pair is exactly verified);
+  *   - cluster assignments equal the oracle's connected components;
+  *   - determinism across reruns and across parallelism levels
+  *     (≙ RecallSuite.scala:243-247).
+  */
+class DedupPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("dedup-e2e")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val cfg = DedupConfig()
+  private val nConvs = 1500L
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("recall >= 0.99 and precision = 1.0 vs exact all-pairs oracle; clusters match oracle components") {
+    val transcripts = TranscriptGen.df(spark, nConvs)
+    val docs = Dedup.documents(transcripts.toDF()).cache()
+    val sigs = Dedup.signatures(spark, docs, cfg).cache()
+
+    val lshPairs = Dedup.verify(Dedup.candidates(sigs, cfg), sigs, cfg).cache()
+    val oracle = Dedup.exactAllPairs(sigs, cfg.theta).cache()
+
+    val lsh = pairSet(lshPairs)
+    val truth = pairSet(oracle)
+
+    truth.size should be > 100 // planted structure produced real dups
+    withClue(s"truth=${truth.size} lsh=${lsh.size} missed=${(truth -- lsh).take(5)}: ") {
+      val recall = (truth intersect lsh).size.toDouble / truth.size
+      recall should be >= 0.99
+    }
+    // precision 1.0: verify stage is exact, so every LSH pair must be in truth
+    (lsh -- truth) shouldBe empty
+
+    // clusters: pipeline clusters == connected components over oracle pairs
+    val pipelineClusters = Dedup.clusters(docs, lshPairs)
+      .select("conv_id", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val oracleClusters = ConnectedComponents
+      .assign(docs, oracle.select("id_a", "id_b"))
+      .select("conv_id", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    pipelineClusters shouldBe oracleClusters
+
+    // planted exact-dup groups (positions 6,8 = original + noisy copy) must co-cluster
+    val planted = (0L until nConvs).groupBy(TranscriptGen.plantedClusterKey)
+      .filter { case (k, ids) => k.startsWith("dup-") && ids.size >= 2 }
+    planted.foreach { case (_, ids) =>
+      val orig = f"conv-${ids.min}%08d"
+      val copy = f"conv-${ids.max}%08d"
+      withClue(s"$orig vs $copy: ") {
+        pipelineClusters(orig) shouldBe pipelineClusters(copy)
+      }
+    }
+
+    // empty conversations are mutual duplicates (Jaccard(∅,∅)=1, ExactModel.java:13)
+    val empties = (0L until nConvs).filter(i => TranscriptGen.plantedClusterKey(i) == "empty")
+      .map(i => f"conv-$i%08d")
+    empties.size should be > 2
+    empties.map(pipelineClusters).toSet.size shouldBe 1
+
+    docs.unpersist(); sigs.unpersist(); lshPairs.unpersist(); oracle.unpersist()
+  }
+
+  test("verified pair set is identical across reruns and parallelism levels (determinism contract)") {
+    def runAt(master: String, shufflePartitions: Int): Set[(String, String)] = {
+      val s = SparkSession.builder()
+        .master(master)
+        .appName(s"dedup-det-$master")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try {
+        val docs = Dedup.documents(TranscriptGen.df(s, 400L))
+        val sigs = Dedup.signatures(s, docs, cfg)
+        pairSet(Dedup.verify(Dedup.candidates(sigs, cfg), sigs, cfg))
+      } finally () // keep the shared session; local master is fixed per JVM
+    }
+    // Same JVM/session: vary partitioning + rerun. (True multi-master runs
+    // happen in Bench's scaling harness; SparkSession master is per-JVM.)
+    val r1 = runAt("local[4]", 3)
+    val r2 = runAt("local[4]", 13)
+    val r3 = runAt("local[4]", 13)
+    r1 shouldBe r2
+    r2 shouldBe r3
+    r1.size should be > 20
+  }
+
+  test("connected components: chains, cliques, and isolated vertices resolve correctly") {
+    val s = spark
+    import s.implicits._
+    // pathological chain a0-a1-...-a19 + a clique + untouched singleton
+    val chain = (0 until 19).map(i => (f"a$i%02d", f"a${i + 1}%02d"))
+    val clique = for (i <- 0 until 5; j <- i + 1 until 5) yield (s"b$i", s"b$j")
+    val edges = (chain ++ clique).toList.toDF("id_a", "id_b")
+    val all = ((0 to 19).map(i => f"a$i%02d") ++ (0 until 5).map(i => s"b$i") :+ "zzz").toList.toDF("conv_id")
+    val assign = ConnectedComponents.assign(all, edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    (0 to 19).foreach(i => assign(f"a$i%02d") shouldBe "a00")
+    (0 until 5).foreach(i => assign(s"b$i") shouldBe "b0")
+    assign("zzz") shouldBe "zzz"
+  }
+}
