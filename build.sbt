@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only JVM: the heap is the whole cluster's memory.
+  // 32 concurrent tasks with shuffle/sort buffers thrash an 8g heap. The
+  // heap is fixed-size and pre-touched: inside this microVM, lazily zeroing
+  // fresh heap pages mid-run costs whole cores of kernel time and shows up
+  // as multi-second stalls in benchmarks; AlwaysPreTouch moves that cost to
+  // JVM startup.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

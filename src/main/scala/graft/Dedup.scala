@@ -35,13 +35,62 @@ object Dedup {
   def clusters(allDocs: DataFrame, verifiedPairs: DataFrame): DataFrame =
     ConnectedComponents.assign(allDocs, verifiedPairs)
 
-  /** The whole pipeline: transcripts → cluster assignment. */
+  /** Exact-duplicate collapse: one representative (min id) per distinct
+    * shingle set (`set_hash`). Lossless for pair/cluster semantics — equal
+    * sets have Jaccard 1 — and essential at scale: a clique of m identical
+    * documents (empty convs, boilerplate copies) would otherwise produce
+    * m²/2 candidate pairs; after collapse it costs m mapping rows. This is
+    * the standard production shape: hash-dedup first, MinHash on the
+    * survivors.
+    *
+    * @return (conv_id, rep) mapping covering every document
+    */
+  def exactGroups(sigs: DataFrame): DataFrame = {
+    val reps = sigs.groupBy(col("set_hash")).agg(min(col("conv_id")).as("rep"))
+    sigs.select(col("conv_id"), col("set_hash")).join(reps, Seq("set_hash")).select(col("conv_id"), col("rep"))
+  }
+
+  /** The whole pipeline: transcripts → cluster assignment.
+    *
+    * Shape: signatures (materialized once — consumed by three branches) →
+    * exact-dup collapse → LSH candidates + exact verify over representatives
+    * only → connected components over rep pairs → members join back through
+    * their representative. cluster_id = min conv_id of the full member set
+    * (each rep is the min of its exact group, so the component min over reps
+    * is the global member min).
+    *
+    * In a production spark-submit run the localCheckpoint cut points are
+    * durable parquet checkpoints (see CheckpointedPipeline).
+    */
   def pipeline(spark: SparkSession, transcripts: DataFrame, cfg: DedupConfig): DataFrame = {
-    val docs = documents(transcripts)
-    val sigs = signatures(spark, docs, cfg)
-    val pairs = candidates(sigs, cfg)
-    val verified = verify(pairs, sigs, cfg)
-    clusters(docs, verified)
+    val sigs = signatures(spark, documents(transcripts), cfg).localCheckpoint(eager = true)
+    val mapping = exactGroups(sigs)
+    val repSigs = sigs.join(
+      mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi")
+    val verified = verify(candidates(repSigs, cfg), repSigs, cfg)
+    val repClusters = ConnectedComponents.assign(repSigs.select(col("conv_id")), verified)
+    mapping
+      .join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))
+      .select(col("conv_id"), col("cluster_id"))
+      .withColumn("is_canonical", (col("conv_id") === col("cluster_id")).cast("boolean"))
+  }
+
+  /** Expand representative-level verified pairs back to member-level pairs
+    * (exact-group internal pairs + cross-group pairs through the reps).
+    * Diagnostic/test utility — quadratic in exact-group size; never part of
+    * the scale path.
+    */
+  def expandToMemberPairs(mapping: DataFrame, repPairs: DataFrame): DataFrame = {
+    val m = mapping.select(col("conv_id"), col("rep"))
+    // exact-group internal pairs (jaccard = 1 by construction)
+    val intra = m.as("x").join(m.as("y"), col("x.rep") === col("y.rep") && col("x.conv_id") < col("y.conv_id"))
+      .select(col("x.conv_id").as("id_a"), col("y.conv_id").as("id_b"))
+    // cross-group pairs: all members of rep_a × all members of rep_b
+    val cross = repPairs
+      .join(m.withColumnRenamed("rep", "id_a").withColumnRenamed("conv_id", "m_a"), Seq("id_a"))
+      .join(m.withColumnRenamed("rep", "id_b").withColumnRenamed("conv_id", "m_b"), Seq("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"), greatest(col("m_a"), col("m_b")).as("id_b"))
+    intra.unionByName(cross).distinct()
   }
 
   private val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>

@@ -15,7 +15,12 @@ import graft.kernels.Shingler
   * @param rowsPerBand    k — minhashes concatenated per band (≙ Mapping.JaccardLsh.k)
   * @param seed           model seed (reference pins 0)
   * @param minBands       candidate threshold: pairs must share ≥ this many bands
-  *                       (batch analog of the reference's `candidates` knob, §2.5 C3)
+  *                       (batch analog of the reference's `candidates` knob, §2.5 C3).
+  *                       At the defaults (L=64, r=2, θ=0.8) a true pair collides
+  *                       per band w.p. ≥ θ² = 0.64 → matching bands ~ Bin(64, 0.64),
+  *                       so requiring 8 loses P[Bin(64,.64) < 8] ≈ 1e-19 recall
+  *                       while discarding most sub-θ noise pairs (mean ≈ 5.8 matches
+  *                       at s = 0.3) before the expensive verify join.
   * @param theta          verify threshold θ on exact Jaccard (≙ C5 exact re-score filter)
   * @param bucketCap      max ids per LSH bucket before salted splitting kicks in (§7.4 skew)
   * @param simHashBands   bands for the 64-bit SimHash fingerprint path (must divide 64)
@@ -26,7 +31,7 @@ final case class DedupConfig(
     numTables: Int = 64,
     rowsPerBand: Int = 2,
     seed: Long = 0L,
-    minBands: Int = 1,
+    minBands: Int = 8,
     theta: Double = 0.8,
     bucketCap: Int = 512,
     simHashBands: Int = 8

@@ -30,9 +30,13 @@ object ConnectedComponents {
     * @return (conv_id, cluster_id) for every vertex that appears in an edge
     */
   def components(edges: DataFrame, maxIter: Int = 32): DataFrame = {
+    // Materialize the edge list once: every iteration joins against it, and
+    // without this the full upstream pipeline (signatures → candidates →
+    // verify) would be recomputed per iteration.
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
 
     var labels = sym
       .select(col("src").as("id"))

@@ -13,7 +13,8 @@ final case class SignatureRow(
     shingles: Array[Long],
     n_shingles: Int,
     bands: Array[Long],
-    simhash: Long
+    simhash: Long,
+    set_hash: Long
 )
 
 /** The signatures stage — the batch analog of the reference's write path
@@ -47,7 +48,16 @@ object Signatures {
       val model = new MinHashModel(cfg.numTables, cfg.rowsPerBand, cfg.seed)
       iter.map { case (convId, text, nTurns) =>
         val sh = Shingler.shingles(text, cfg.shingleK, cfg.shingleMode, cfg.seed)
-        SignatureRow(convId, nTurns, sh, sh.length, model.bandHashes(sh), SimHashModel.fingerprint(sh, cfg.seed))
+        // set_hash: order-canonical 64-bit digest of the (sorted) shingle
+        // set — the exact-duplicate group key. Docs with equal shingle sets
+        // have Jaccard 1 by definition, so collapsing them to one
+        // representative before LSH is lossless for the pair/cluster
+        // semantics and removes the quadratic blow-up of giant exact-dup
+        // cliques (e.g. empty documents).
+        var setHash = 0x243f6a8885a308d3L ^ cfg.seed
+        var i = 0
+        while (i < sh.length) { setHash = graft.kernels.Hashing.mix64(setHash, sh(i)); i += 1 }
+        SignatureRow(convId, nTurns, sh, sh.length, model.bandHashes(sh), SimHashModel.fingerprint(sh, cfg.seed), setHash)
       }
     }.toDF()
   }

@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.{Dedup, DedupConfig}
+import graft.kernels.Hashing
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Durable, resumable run of the dedup pipeline for spark-submit-scale jobs:
+  * each stage checkpoints to parquet with a `_lineage.json` sidecar, and a
+  * rerun reuses any stage whose lineage (config hash + upstream chain)
+  * matches — the restart-safety analog of the reference's
+  * "derive-from-seed, never store params" philosophy (`ModelCache.scala:17-21`):
+  * state that *can* be recomputed is keyed by what produced it, so a resumed
+  * run either trusts a checkpoint exactly or rebuilds it.
+  *
+  * Layout under `workDir`:
+  *   signatures/   partitioned by `bucket` = pmod(xxhash64(conv_id), nBuckets)
+  *                 — a stable id-hash partitioning, so incremental/partial
+  *                 reruns can address per-bucket subsets and downstream
+  *                 equi-joins on conv_id start from co-located data
+  *   pairs/        verified duplicate pairs (rep-level)
+  *   clusters/     final (conv_id, cluster_id, is_canonical)
+  * Each with `_lineage.json`: stage, config hash, upstream hash, row count,
+  * wall seconds, bucket count — the per-partition lineage + metrics record.
+  */
+object CheckpointedPipeline {
+
+  final case class StageInfo(name: String, rows: Long, wallSec: Double, reused: Boolean)
+
+  private def configHash(cfg: DedupConfig, nBuckets: Int): String = {
+    val s = cfg.toString + s"/buckets=$nBuckets/v1"
+    java.lang.Long.toHexString(Hashing.hashString(s))
+  }
+
+  private def lineagePath(dir: String): java.nio.file.Path = Paths.get(dir, "_lineage.json")
+
+  private def writeLineage(dir: String, stage: String, cfgHash: String, upstream: String,
+                           rows: Long, wallSec: Double, nBuckets: Int): Unit = {
+    val json =
+      s"""{"stage":"$stage","config_hash":"$cfgHash","upstream":"$upstream","rows":$rows,""" +
+        f""""wall_sec":$wallSec%.3f,"n_buckets":$nBuckets,"written_at_ms":${System.currentTimeMillis()}}"""
+    Files.writeString(lineagePath(dir), json)
+  }
+
+  /** A stage checkpoint is reusable iff its lineage exists and records the
+    * same config hash + upstream chain (parquet `_SUCCESS` is implied by the
+    * sidecar being written strictly after the data).
+    */
+  private def reusable(dir: String, cfgHash: String, upstream: String): Boolean = {
+    val p = lineagePath(dir)
+    Files.exists(p) && {
+      val s = Files.readString(p)
+      s.contains(s""""config_hash":"$cfgHash"""") && s.contains(s""""upstream":"$upstream"""")
+    }
+  }
+
+  /** Run (or resume) the pipeline. Returns the clusters DataFrame plus
+    * per-stage lineage info (rows, wall time, whether the checkpoint was
+    * reused).
+    */
+  def run(spark: SparkSession, transcripts: DataFrame, cfg: DedupConfig,
+          workDir: String, nBuckets: Int = 64): (DataFrame, Seq[StageInfo]) = {
+    Files.createDirectories(Paths.get(workDir))
+    val cfgHash = configHash(cfg, nBuckets)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageInfo]
+
+    def stage(name: String, upstream: String, partitionCols: Seq[String])(compute: => DataFrame): DataFrame = {
+      val dir = s"$workDir/$name"
+      if (reusable(dir, cfgHash, upstream)) {
+        val df = spark.read.parquet(dir)
+        stages += StageInfo(name, -1L, 0.0, reused = true)
+        df
+      } else {
+        val t0 = System.nanoTime()
+        val df = compute
+        val writer = df.write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).parquet(dir)
+        val out = spark.read.parquet(dir)
+        val rows = out.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets)
+        stages += StageInfo(name, rows, wall, reused = false)
+        out
+      }
+    }
+
+    val sigs = stage("signatures", upstream = "transcripts", partitionCols = Seq("bucket")) {
+      Dedup.signatures(spark, Dedup.documents(transcripts), cfg)
+        .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
+    }
+
+    val pairs = stage("pairs", upstream = s"signatures/$cfgHash", partitionCols = Nil) {
+      val mapping = Dedup.exactGroups(sigs)
+      val repSigs = sigs.join(mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi")
+      Dedup.verify(Dedup.candidates(repSigs, cfg), repSigs, cfg)
+    }
+
+    val clusters = stage("clusters", upstream = s"pairs/$cfgHash", partitionCols = Nil) {
+      val mapping = Dedup.exactGroups(sigs)
+      val reps = mapping.select(col("rep").as("conv_id")).distinct()
+      val repClusters = ConnectedComponents.assign(reps, pairs.select("id_a", "id_b"))
+      mapping
+        .join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))
+        .select(col("conv_id"), col("cluster_id"))
+        .withColumn("is_canonical", (col("conv_id") === col("cluster_id")).cast("boolean"))
+    }
+
+    (clusters, stages.toSeq)
+  }
+}

@@ -49,9 +49,17 @@ object TranscriptGen {
   private def sentence(rng: Random, nTokens: Int): String =
     (0 until nTokens).map(_ => word(rng)).mkString(" ")
 
-  /** The boilerplate prefix turns shared by all hard-negative convs. */
-  private def boilerplate(seed: Long): Array[String] = {
-    val rng = new Random(Hashing.mix64(seed, -1L))
+  /** Hard-negative boilerplate families are bounded to this many position-9
+    * conversations: noise candidate pairs then grow linearly with corpus
+    * size (families × bounded²) instead of quadratically — the property a
+    * 10^12-turn corpus needs. Within a family the shared prefix still
+    * creates correlated LSH buckets (the skew stressor).
+    */
+  val BoilerplateFamilySize = 400L
+
+  /** The boilerplate prefix turns shared by one hard-negative family. */
+  private def boilerplate(seed: Long, family: Long): Array[String] = {
+    val rng = new Random(Hashing.mix64(seed, -1L - family))
     Array(sentence(rng, 40), sentence(rng, 35))
   }
 
@@ -106,7 +114,7 @@ object TranscriptGen {
       case 7 => nearDup(seed, idx, template(seed, block, 6L, 6, 40))
       case 8 => noisyCopy(seed, idx, template(seed, block, 6L, 6, 40))
       case 9 =>
-        val bp = boilerplate(seed)
+        val bp = boilerplate(seed, block / BoilerplateFamilySize)
         val body = template(seed, block, 9L, 3, 6)
         bp.zipWithIndex.map { case (t, i) => (Roles(i % 3), t, null: String) } ++ body
     }

@@ -66,6 +66,22 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       .select("conv_id", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toMap
     pipelineClusters shouldBe oracleClusters
 
+    // the production pipeline (exact-dup collapse → rep-level LSH → member
+    // join-back) must produce the same clusters as the direct all-docs path
+    val collapsedClusters = Dedup.pipeline(spark, transcripts.toDF(), cfg)
+      .select("conv_id", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    collapsedClusters shouldBe oracleClusters
+
+    // member-pair expansion of the collapsed pipeline equals the truth set
+    val mapping = Dedup.exactGroups(sigs)
+    val repSigs = sigs.join(mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi")
+    val repPairs = Dedup.verify(Dedup.candidates(repSigs, cfg), repSigs, cfg)
+    val expanded = pairSet(Dedup.expandToMemberPairs(mapping, repPairs))
+    withClue(s"expanded=${expanded.size} truth=${truth.size}: ") {
+      (truth -- expanded).size.toDouble / truth.size should be <= 0.01
+      (expanded -- truth) shouldBe empty
+    }
+
     // planted exact-dup groups (positions 6,8 = original + noisy copy) must co-cluster
     val planted = (0L until nConvs).groupBy(TranscriptGen.plantedClusterKey)
       .filter { case (k, ids) => k.startsWith("dup-") && ids.size >= 2 }
