@@ -1,0 +1,185 @@
+package graft
+
+import graft.operators._
+import graft.kernels.ExactSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Operator-level Spark tests: salted candidate generation equivalence,
+  * ANN recall vs exact ground truth, assembly ordering, text analysis,
+  * multimodal plumbing.
+  */
+class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairSet(df: DataFrame): Set[(String, String)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("salted pair generation (bucketCap) emits exactly the same pairs as the direct path") {
+    val s = spark
+    import s.implicits._
+    // synthetic signatures: one mega-bucket (200 docs sharing band 1) plus
+    // scattered small buckets — forces the salted block-decomposition path
+    // when bucketCap is small.
+    val rows = (0 until 200).map { i =>
+      val extra = if (i % 3 == 0) Array(100L + i) else Array(200L + i)
+      (f"d$i%04d", Array(1L) ++ extra)
+    }
+    val sigs = rows.toDF("conv_id", "bands")
+    val loose = DedupConfig(bucketCap = 1000, minBands = 1)
+    val tight = DedupConfig(bucketCap = 16, minBands = 1) // mega-bucket 200 > 16 → salted path
+    val direct = CandidatePairs.candidatePairs(sigs, loose)
+    val salted = CandidatePairs.candidatePairs(sigs, tight)
+    val d = direct.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val sal = salted.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    d.size shouldBe 200 * 199 / 2 // the mega-bucket clique
+    sal shouldBe d // identical pairs AND identical matching-band counts
+  }
+
+  test("candidate threshold (minBands) filters by matching-band count") {
+    val s = spark
+    import s.implicits._
+    val sigs = Seq(
+      ("a", Array(1L, 2L, 3L)),
+      ("b", Array(1L, 2L, 9L)), // shares 2 bands with a
+      ("c", Array(1L, 8L, 7L))  // shares 1 band with a
+    ).toDF("conv_id", "bands")
+    val pairs2 = CandidatePairs.candidatePairs(sigs, DedupConfig(minBands = 2, bucketCap = 100))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    pairs2.toSet shouldBe Set(("a", "b", 2))
+  }
+
+  test("LSH ANN reaches high recall@5 vs exact brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 30)
+    val exact = Knn.exactTopK(queries, emb, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lshTopK(spark, queries, emb, 5, numTables = 48, rowsPerBand = 6)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    withClue(s"recall=$recall: ") { recall should be >= 0.8 }
+  }
+
+  test("IVF ANN returns k ranked neighbors per query with decent recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 30)
+    val exact = Knn.exactTopK(queries, emb, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Knn.ivfTopK(queries, emb, 5, nCells = 16, nProbe = 8)
+    val rows = ivf.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) => rs.length shouldBe 5 }
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    withClue(s"recall=$recall: ") { recall should be >= 0.5 }
+  }
+
+  test("exact knn is deterministic and self-excluding, ranked by similarity desc") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val r1 = Knn.exactTopK(q, emb, 3).collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    val r2 = Knn.exactTopK(q, emb, 3).collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    r1.map(_.toString) shouldBe r2.map(_.toString)
+    r1.foreach { r => r.getLong(0) should not be r.getLong(2) }
+    r1.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      byRank.reverse shouldBe byRank.sorted
+    }
+  }
+
+  test("assembly orders turns by turn_idx regardless of input order; role variant differs") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(
+      ("c1", 2, "user", "third", null: String, java.sql.Timestamp.valueOf("2024-01-01 00:02:00")),
+      ("c1", 0, "user", "first", null: String, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("c1", 1, "assistant", "second", null: String, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val doc = Assembly.assemble(t).select("doc_text").first().getString(0)
+    doc shouldBe "first\nsecond\nthird"
+    val withRoles = Assembly.assembleWithRoles(t).select("doc_text").first().getString(0)
+    withRoles shouldBe "user: first\nassistant: second\nuser: third"
+  }
+
+  test("text analysis: token counts, quality, lang-id, fingerprint determinism") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog of the field is here"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    tc(1L) shouldBe 13
+    tc(3L) shouldBe 1
+    val lang = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    lang(1L) shouldBe "en"
+    lang(2L) shouldBe "de"
+    lang(3L) shouldBe "und"
+    val q = TextAnalysis.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    q(1L) shouldBe 1
+    q(3L) shouldBe 0
+    val f1 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f2 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    f1 shouldBe f2
+    f1.map(_._2).size shouldBe 3 // distinct texts → distinct fingerprints
+  }
+
+  test("exact dedup groups identical texts and picks min id as canonical") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
+    val g = TextAnalysis.exactDedup(docs).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    g shouldBe Set((2, 2L), (1, 9L))
+  }
+
+  test("multimodal plumbing: binary payload → per-partition feature extraction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val media = Multimodal.syntheticMedia(docs)
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    val feats = Multimodal.extractFeatures(spark, media)
+    val rows = feats.collect()
+    rows.length shouldBe 50
+    rows.foreach { r =>
+      r.getInt(1) should be >= 1 // width
+      r.getSeq[Long](4).length shouldBe 8 // histogram bins
+      r.getSeq[Long](4).sum should be > 0L // non-empty payload → non-empty histogram
+      r.getDouble(5) should (be >= 0.0 and be <= 255.0) // mean byte
+    }
+  }
+
+  test("verify emits exact Jaccard and respects theta (C5 semantics)") {
+    val s = spark
+    import s.implicits._
+    val sigs = Seq(
+      ("a", Array(1L, 2L, 3L, 4L), 0L),
+      ("b", Array(1L, 2L, 3L, 9L), 0L),
+      ("c", Array(7L, 8L), 0L)
+    ).toDF("conv_id", "shingles", "simhash")
+    val pairs = Seq(("a", "b", 5), ("a", "c", 5)).toDF("id_a", "id_b", "matching_bands")
+    val out = VerifyPairs.verify(pairs, sigs, DedupConfig(theta = 0.5))
+      .collect().map(r => ((r.getString(1), r.getString(0)), r.getDouble(3))).toMap
+    // verify joins reorder columns; fetch by name instead
+    val byName = VerifyPairs.verify(pairs, sigs, DedupConfig(theta = 0.5)).collect()
+      .map(r => (r.getAs[String]("id_a"), r.getAs[String]("id_b"), r.getAs[Double]("jaccard")))
+    byName.map(t => (t._1, t._2)).toSet shouldBe Set(("a", "b"))
+    byName.head._3 shouldBe (3.0 / 5.0) +- 1e-12
+    out.size shouldBe 1
+  }
+}
