@@ -16,11 +16,13 @@ import graft.kernels.Shingler
   * @param seed           model seed (reference pins 0)
   * @param minBands       candidate threshold: pairs must share ≥ this many bands
   *                       (batch analog of the reference's `candidates` knob, §2.5 C3).
-  *                       At the defaults (L=64, r=2, θ=0.8) a true pair collides
-  *                       per band w.p. ≥ θ² = 0.64 → matching bands ~ Bin(64, 0.64),
-  *                       so requiring 8 loses P[Bin(64,.64) < 8] ≈ 1e-19 recall
-  *                       while discarding most sub-θ noise pairs (mean ≈ 5.8 matches
-  *                       at s = 0.3) before the expensive verify join.
+  *                       At the defaults (L=48, r=3, θ=0.8) a true pair collides
+  *                       per band w.p. ≥ θ³ = 0.512 → matching bands ~ Bin(48, 0.512),
+  *                       so requiring 8 loses P[Bin(48,.512) < 8] ≈ 1e-8 recall,
+  *                       while boilerplate noise pairs (s ≈ 0.2, per-band
+  *                       p = s³ ≈ 0.01) expect < 1 matching band and rarely
+  *                       survive to the verify join at all — r=3 is the main
+  *                       candidate-volume knob (4× fewer noise pair rows than r=2).
   * @param theta          verify threshold θ on exact Jaccard (≙ C5 exact re-score filter)
   * @param bucketCap      max ids per LSH bucket before salted splitting kicks in (§7.4 skew)
   * @param simHashBands   bands for the 64-bit SimHash fingerprint path (must divide 64)
@@ -28,8 +30,8 @@ import graft.kernels.Shingler
 final case class DedupConfig(
     shingleK: Int = 3,
     shingleMode: Shingler.Mode = Shingler.Words,
-    numTables: Int = 64,
-    rowsPerBand: Int = 2,
+    numTables: Int = 48,
+    rowsPerBand: Int = 3,
     seed: Long = 0L,
     minBands: Int = 8,
     theta: Double = 0.8,

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.DedupConfig
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Candidate-pair generation: the batch re-grounding of the reference's
@@ -27,14 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object CandidatePairs {
 
-  /** (band, conv_id) posting rows with per-band bucket size `n` attached
-    * via a single window shuffle (reused by both the small and salted path).
+  /** (band, conv_id) posting rows with per-band bucket size `n` attached.
+    * The size comes from a map-side-combinable groupBy count hash-joined
+    * back (build side = the small counts table) — deliberately NOT a window:
+    * a window over `band` sorts every posting row inside skew-prone band
+    * partitions, while this shape streams the postings unsorted.
     */
   private def postings(sigs: DataFrame): DataFrame = {
-    sigs
-      .select(col("conv_id"), explode(col("bands")).as("band"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("band")))
-      .filter(col("n") >= 2) // singleton buckets produce no pairs
+    val rows = sigs.select(col("conv_id"), explode(col("bands")).as("band"))
+    val counts = rows.groupBy(col("band")).agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    rows.join(counts.hint("shuffle_hash"), Seq("band")) // drops singleton buckets
   }
 
   /** All unordered candidate pairs (id_a < id_b) with the number of
@@ -43,13 +44,14 @@ object CandidatePairs {
   def candidatePairs(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val posts = postings(sigs)
 
-    // ---- small buckets: direct within-bucket enumeration ----
-    val smallPairs = posts
-      .filter(col("n") <= cfg.bucketCap)
-      .groupBy(col("band"))
-      .agg(sort_array(collect_list(col("conv_id"))).as("ids"))
-      .select(explodePairs(col("ids")).as("pair"))
-      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+    // ---- small buckets: within-bucket enumeration as a band self-join ----
+    // (codegen'd, no per-bucket array materialization, and AQE can
+    // skew-split the join where a band runs hot)
+    val small = posts.filter(col("n") <= cfg.bucketCap)
+    val smallPairs = small.select(col("band"), col("conv_id").as("id_a"))
+      .join(small.select(col("band"), col("conv_id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
 
     // ---- oversized buckets: salted block decomposition ----
     val big = posts
@@ -66,7 +68,9 @@ object CandidatePairs {
       .withColumn("ci", explode(sequence(lit(0), col("chunk"))))
       .select(col("band"), col("ci"), col("chunk").as("cj"), col("conv_id").as("id_b"))
 
-    val bigPairs = lhs
+    // shuffle_hash: both replicas are wide fan-outs of the postings — never
+    // broadcastable, and checkpoint-derived size estimates can't be trusted
+    val bigPairs = lhs.hint("shuffle_hash")
       .join(rhs, Seq("band", "ci", "cj"))
       .filter(
         // same chunk: strict order avoids self+duplicate pairs; cross-chunk:
@@ -98,14 +102,4 @@ object CandidatePairs {
       .orderBy(desc("bucket_size"))
   }
 
-  /** All (i<j) pairs from a sorted id array, as a generator column.
-    * Uses SQL higher-order functions (codegen-friendly, no UDF): for each
-    * position i, pair ids(i) with every later element.
-    */
-  private def explodePairs(ids: Column): Column = {
-    explode(flatten(transform(
-      ids,
-      (x, i) => transform(slice(ids, i + 2, size(ids)), y => struct(x.as("_1"), y.as("_2")))
-    )))
-  }
 }

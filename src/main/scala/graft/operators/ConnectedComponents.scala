@@ -44,6 +44,8 @@ object ConnectedComponents {
       .withColumn("label", col("id"))
       .localCheckpoint(eager = true)
 
+    val spark = edges.sparkSession
+    import spark.implicits._
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -55,21 +57,26 @@ object ConnectedComponents {
 
       val propagated = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
 
-      // pointer jumping: label := label(label)
+      // pointer jumping: label := min(label, label(label)); the convergence
+      // check rides the same materialization via an accumulator instead of
+      // costing a separate join+count job per iteration.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
       val jumpTargets = propagated.select(col("id").as("label"), col("label").as("label2"))
       val jumped = propagated
         .join(jumpTargets, Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+        .select(col("id"), col("old_label"), least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+        .as[(String, String, String)]
+        .map { case (id, old, label) =>
+          if (old != label) changedAcc.add(1L)
+          (id, label)
+        }
+        .toDF("id", "label")
         .localCheckpoint(eager = true)
 
-      val changed = jumped
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
-        .filter(col("label") =!= col("old_label"))
-        .limit(1)
-        .count()
-      converged = changed == 0
+      converged = changedAcc.value == 0
       labels = jumped
       iter += 1
     }

@@ -27,13 +27,21 @@ object VerifyPairs {
   /** @param pairs (id_a, id_b, matching_bands)
     * @param sigs  signatures with (conv_id, shingles, simhash)
     * @return (id_a, id_b, matching_bands, jaccard, simhash_sim) filtered at θ
+    *
+    * The pairs side carries a `shuffle_hash` hint: the payload side holds
+    * the full shingle arrays, and Catalyst's size estimate for a
+    * checkpointed plan badly undercounts array columns — without the hint
+    * it broadcasts the entire signatures table (driver-serial collect,
+    * OOM-by-maxResultSize at scale). A shuffled hash join keeps both sides
+    * distributed and builds on the (typically much smaller) pairs side.
     */
   def verify(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val payload = sigs.select(col("conv_id"), col("shingles"), col("simhash"))
-    pairs
+    pairs.hint("shuffle_hash")
       .join(payload.withColumnRenamed("conv_id", "id_a")
                    .withColumnRenamed("shingles", "sh_a")
                    .withColumnRenamed("simhash", "fp_a"), Seq("id_a"))
+      .hint("shuffle_hash")
       .join(payload.withColumnRenamed("conv_id", "id_b")
                    .withColumnRenamed("shingles", "sh_b")
                    .withColumnRenamed("simhash", "fp_b"), Seq("id_b"))
@@ -49,10 +57,11 @@ object VerifyPairs {
     */
   def score(pairs: DataFrame, sigs: DataFrame): DataFrame = {
     val payload = sigs.select(col("conv_id"), col("shingles"), col("simhash"))
-    pairs
+    pairs.hint("shuffle_hash")
       .join(payload.withColumnRenamed("conv_id", "id_a")
                    .withColumnRenamed("shingles", "sh_a")
                    .withColumnRenamed("simhash", "fp_a"), Seq("id_a"))
+      .hint("shuffle_hash")
       .join(payload.withColumnRenamed("conv_id", "id_b")
                    .withColumnRenamed("shingles", "sh_b")
                    .withColumnRenamed("simhash", "fp_b"), Seq("id_b"))
@@ -76,8 +85,9 @@ object VerifyPairs {
   def lcsPass(verified: DataFrame, docs: DataFrame, borderlineBelow: Double = 0.9): DataFrame = {
     val texts = docs.select(col("conv_id"), col("doc_text"))
     val borderline = verified.filter(col("jaccard") < borderlineBelow)
-    val scored = borderline
+    val scored = borderline.hint("shuffle_hash")
       .join(texts.withColumnRenamed("conv_id", "id_a").withColumnRenamed("doc_text", "t_a"), Seq("id_a"))
+      .hint("shuffle_hash")
       .join(texts.withColumnRenamed("conv_id", "id_b").withColumnRenamed("doc_text", "t_b"), Seq("id_b"))
       .withColumn("lcs_ratio", lcsRatioUdf(col("t_a"), col("t_b")))
       .select("id_a", "id_b", "matching_bands", "jaccard", "simhash_sim", "lcs_ratio")

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.DedupConfig
+import graft.kernels.{Hashing, MinHashModel, Shingler, SimHashModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface for the dedup engine.
+  *
+  * The reference is request/response serving with no streaming concept
+  * (SURVEY §2.9); this is the *additional* capability a training-data
+  * pipeline needs: deduplicate documents as they arrive instead of in a
+  * nightly batch. Built entirely on public Structured Streaming primitives:
+  * stateless mapPartitions for signatures, watermarked `dropDuplicates` for
+  * streaming exact dedup.
+  *
+  * Near-dup streaming (new doc vs historical index) is a stream-static join
+  * against a checkpointed signatures table — see [[nearDupAgainstIndex]] —
+  * keeping state out of the streaming engine, which is the scalable shape:
+  * the "index" is the batch pipeline's durable signatures checkpoint.
+  */
+object StreamingDedup {
+
+  /** Per-micro-batch signature computation (stateless, kernel hoisted per
+    * partition — identical math to the batch path, so stream and batch
+    * signatures are interchangeable).
+    */
+  def signatures(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("conv_id", "coalesce(doc_text, '') as doc_text")
+      .as[(String, String)]
+      .mapPartitions { iter =>
+        val model = new MinHashModel(cfg.numTables, cfg.rowsPerBand, cfg.seed)
+        iter.map { case (id, text) =>
+          val sh = Shingler.shingles(text, cfg.shingleK, cfg.shingleMode, cfg.seed)
+          var setHash = 0x243f6a8885a308d3L ^ cfg.seed
+          var i = 0
+          while (i < sh.length) { setHash = Hashing.mix64(setHash, sh(i)); i += 1 }
+          (id, model.bandHashes(sh), SimHashModel.fingerprint(sh, cfg.seed), setHash)
+        }
+      }
+      .toDF("conv_id", "bands", "simhash", "set_hash")
+  }
+
+  /** Streaming exact dedup: keep the first document per content key within
+    * the watermark horizon. `ts` must be an event-time column; late
+    * duplicates beyond the watermark are the documented trade-off (state
+    * cannot be unbounded at 10^12 scale).
+    */
+  def exactDedupStream(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
+                       watermark: String = "1 hour"): DataFrame = {
+    val sigs = signatures(spark, docs.select(col("conv_id"), col("doc_text")), cfg)
+      .join(docs.select(col("conv_id"), col("ts")), Seq("conv_id"))
+    sigs
+      .withWatermark("ts", watermark)
+      .dropDuplicates("set_hash")
+  }
+
+  /** Streaming near-dup detection against a static (checkpointed) signature
+    * index: new docs are banded and hash-joined against the index's bands —
+    * the read path C1/C2/C5 with the stream as the query side. Returns
+    * (conv_id, matched_id, matching_bands) candidates; exact verification
+    * joins the payload exactly like the batch verify stage.
+    */
+  def nearDupAgainstIndex(streamSigs: DataFrame, indexSigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val streamBands = streamSigs.select(col("conv_id"), explode(col("bands")).as("band"))
+    val indexBands = indexSigs.select(col("conv_id").as("matched_id"), explode(col("bands")).as("band"))
+    streamBands
+      .join(indexBands, Seq("band")) // stream-static equi-join: no streaming state
+      .filter(col("conv_id") =!= col("matched_id"))
+      .groupBy(col("conv_id"), col("matched_id"))
+      .agg(count(lit(1)).cast("int").as("matching_bands"))
+      .filter(col("matching_bands") >= cfg.minBands)
+  }
+}
