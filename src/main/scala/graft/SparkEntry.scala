@@ -241,7 +241,96 @@ object SparkEntry {
 
     "q_bucket_metrics" -> ((s, dir) =>
       CandidatePairs.bucketMetrics(sigsForDocs(s, dir))
-        .select(col("bucket_size").cast("long").as("bucket_size"), col("n_buckets").cast("long").as("n_buckets")))
+        .select(col("bucket_size").cast("long").as("bucket_size"), col("n_buckets").cast("long").as("n_buckets"))),
+
+    // ---- Hamming LSH by bit sampling (H2) + exact Hamming verify (E3) ----
+    "q_hamming_lsh_pairs" -> ((s, dir) => {
+      import s.implicits._
+      // universe sized to ~50% fill for these docs: Hamming similarity over
+      // a much larger sparse universe is trivially high (both-absent
+      // positions agree), which is exactly why the reference pairs sparse
+      // sets with Jaccard — the Hamming path needs dense-ish vectors
+      val dims = 256
+      // shingle-hash set folded onto a fixed 0..dims universe: the
+      // ≙Vec.SparseBool form the reference's HammingLshModel consumes
+      val sets = sigsForDocs(s, dir)
+        .select(col("conv_id").cast("long").as("doc_id"), col("shingles"))
+        .as[(Long, Array[Long])]
+        .map { case (id, sh) =>
+          val idx = sh.map(h => (((h % dims) + dims) % dims).toInt).distinct.sorted
+          (id, idx)
+        }
+        .toDF("doc_id", "true_indices")
+        // density floor: below ~25% fill the universe is mostly 0 for both
+        // docs and Hamming similarity is trivially high regardless of
+        // content — the Hamming path is for dense-ish vectors only
+        .filter(size(col("true_indices")) >= 64)
+      val banded = sets.as[(Long, Array[Int])].mapPartitions { iter =>
+        val model = new graft.kernels.BitSamplingModel(dims, numTables = 32, rowsPerBand = 8)
+        iter.flatMap { case (id, idx) => model.hash(idx).map(b => (id, b)) }
+      }.toDF("doc_id", "band")
+      val cands = banded.select(col("band"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).cast("long").as("matching_bands"))
+        .filter(col("matching_bands") >= 8)
+      val hammingSim = udf { (a: Array[Int], b: Array[Int]) =>
+        graft.kernels.ExactSim.hamming(a.map(_.toLong), b.map(_.toLong), dims.toLong)
+      }
+      cands.hint("shuffle_hash")
+        .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("true_indices", "t_a"), Seq("id_a"))
+        .hint("shuffle_hash")
+        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("true_indices", "t_b"), Seq("id_b"))
+        .withColumn("hamming_sim", hammingSim(col("t_a"), col("t_b")))
+        .filter(col("hamming_sim") >= 0.85)
+        .select("id_a", "id_b", "matching_bands", "hamming_sim")
+    }),
+
+    // ---- L2 LSH (stable distributions, H4) knn with exact re-score ----
+    "q_knn_l2_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddingsDf(s, dir)
+      val dims = emb.select(size(col("embedding"))).first().getInt(0)
+      def banded(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+          .mapPartitions { iter =>
+            val model = new graft.kernels.L2LshModel(dims, numTables = 24, rowsPerBand = 2, w = 4)
+            iter.flatMap { case (id, e) => model.hash(e).map(b => (id, b)) }
+          }.toDF(idCol, "band")
+      val q = banded(emb.filter(col("vec_id") < 20), "q_id")
+      val c = banded(emb, "n_id")
+      val cands = q.join(c, Seq("band")).filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id").agg(count(lit(1)).as("matching_bands"))
+      val l2sim = udf { (a: Array[Float], b: Array[Float]) => graft.kernels.ExactSim.l2Sim(a, b) }
+      val qv = emb.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+      val cv = emb.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
+      cands.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+        .withColumn("sim", round(l2sim(col("q_emb"), col("n_emb")), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    }),
+
+    // ---- Permutation LSH (H5) with freq-aware hit counting (C2,
+    //      ≙ MatchHashesAndScoreQuery.java:74-81 min(queryFreq, docFreq)) ----
+    "q_permutation_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddingsDf(s, dir)
+      def terms(df: org.apache.spark.sql.DataFrame, idCol: String, freqCol: String) =
+        df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+          .mapPartitions { iter =>
+            val model = new graft.kernels.PermutationLshModel(16, repeating = true)
+            iter.flatMap { case (id, e) => model.hash(e).map { case (t, f) => (id, t, f) } }
+          }.toDF(idCol, "term", freqCol)
+      val q = terms(emb.filter(col("vec_id") < 20), "q_id", "q_freq")
+      val c = terms(emb, "n_id", "n_freq")
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("score"), asc("n_id"))
+      q.join(c, Seq("term")).filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(least(col("q_freq"), col("n_freq"))).cast("long").as("score"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+    })
   )
 
   /** DuckDB oracle SQL — same parquet tables, same column names/types. */
