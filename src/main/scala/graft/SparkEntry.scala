@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2), with DuckDB-runnable oracle SQL for every
   * SQL-expressible one. Column names and types are aligned between the
   * Spark result and the oracle (BIGINT/DOUBLE/VARCHAR only).
+  *
+  * Hash-kernel queries (MinHash/SimHash/fingerprint/Hamming-LSH) are
+  * oracled through [[DuckSql]], which regenerates the engine's splitmix64
+  * kernels as DuckDB SQL with model parameters baked in as literals —
+  * the oracle recomputes signatures independently from the parquet text.
   */
 object SparkEntry {
 
@@ -50,6 +55,28 @@ object SparkEntry {
         col("jaccard"))
   }
 
+  /** Events table re-cast as a transcripts corpus for the flagship pipeline:
+    * each user's event stream becomes a conversation (turns ordered by
+    * (ts, event_id), text = event_type), plus a planted near-duplicate copy
+    * per user with the last turn dropped — deterministic dup structure the
+    * DuckDB oracle reproduces exactly.
+    */
+  private def eventTranscripts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = eventsDf(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("n_ev", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    def conv(prefix: String) =
+      concat(lit(prefix), lpad(col("user_id").cast("string"), 10, "0")).as("conv_id")
+    val orig = base.select(conv("u"), col("turn_idx"), lit("user").as("role"),
+      col("event_type").as("text"), lit("").as("tool"), col("ts"))
+    val dup = base.filter(col("turn_idx") < col("n_ev"))
+      .select(conv("d"), col("turn_idx"), lit("user").as("role"),
+        col("event_type").as("text"), lit("").as("tool"), col("ts"))
+    orig.unionByName(dup)
+  }
+
   /** Flagship: full transcripts near-dup pipeline (assembly → shingle →
     * MinHash → bands → salted pairs → exact verify → connected components)
     * on a deterministic synthesized corpus. Driver smoke-checks rows > 0.
@@ -58,9 +85,11 @@ object SparkEntry {
     Dedup.pipeline(spark, TranscriptGen.df(spark, 300L), DedupConfig())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- flagship transcripts pipeline (kernels not SQL-expressible) ----
-    "q_transcript_clusters" -> ((s, _) =>
-      Dedup.pipeline(s, TranscriptGen.df(s, 600L), DedupConfig())
+    // ---- flagship transcripts pipeline over the events-derived corpus
+    //      (assembly → signatures → exact collapse → LSH → verify → CC),
+    //      oracled by exact-Jaccard pairs + recursive-CTE components ----
+    "q_transcript_clusters" -> ((s, dir) =>
+      Dedup.pipeline(s, eventTranscripts(s, dir), DedupConfig())
         .select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))),
 
     // ---- S-path: assembly (window-ordered concat; oracle: string_agg) ----
@@ -136,7 +165,7 @@ object SparkEntry {
         .select(col("conv_id").cast("long").as("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
     }),
 
-    // ---- exact knn (C7 brute force + C3/C4 top-k semantics) ----
+    // ---- exact knn (C7 brute force + C3/C4/C6 bounded top-k) ----
     "q_knn_cosine" -> ((s, dir) => {
       val emb = embeddingsDf(s, dir)
       Knn.exactTopK(emb.filter(col("vec_id") < 20), emb, 5)
@@ -172,7 +201,8 @@ object SparkEntry {
           col("n_punct").cast("long").as("n_punct"),
           col("is_quality").cast("long").as("is_quality"))),
 
-    // ---- rows-only (hash kernels / non-SQL-expressible) ----
+    // ---- MinHash signatures (S5 hash-terms; oracle: DuckSql regenerates
+    //      the splitmix64 + universal-hash kernels with baked params) ----
     "q_minhash_signature" -> ((s, dir) =>
       sigsForDocs(s, dir).select(
         col("conv_id").cast("long").as("doc_id"),
@@ -221,6 +251,30 @@ object SparkEntry {
           col("jaccard"), round(col("lcs_ratio"), 6).as("lcs_ratio"))
     }),
 
+    // ---- C8 explain: per-pair diagnostics (band hits, hit fraction,
+    //      exact scores, unfiltered — ≙ MatchHashesAndScoreQuery's
+    //      "matched m of n hashes" surfaced as data) ----
+    "q_pair_explain" -> ((s, dir) => {
+      val sigs = sigsForDocs(s, dir)
+      VerifyPairs.score(Dedup.candidates(sigs, docCfg), sigs)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          col("matching_bands").cast("long").as("matching_bands"),
+          (col("matching_bands").cast("double") / docCfg.numTables).as("matching_frac"),
+          col("jaccard"), col("simhash_sim"))
+    }),
+
+    // ---- S2 dims validation (≙ VectorMapper dims check) with planted
+    //      ragged rows ----
+    "q_dims_validation" -> ((s, dir) => {
+      val emb = embeddingsDf(s, dir).select(col("vec_id"), col("embedding"))
+      val ragged = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), slice(col("embedding"), 1, 63).as("embedding"))
+      Knn.dimsReport(emb.unionByName(ragged), dims = 64)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("n_dims").cast("long").as("n_dims"),
+          col("is_valid").cast("long").as("is_valid"))
+    }),
+
     "q_knn_lsh" -> ((s, dir) => {
       val emb = embeddingsDf(s, dir)
       Knn.lshTopK(s, emb.filter(col("vec_id") < 20), emb, 5)
@@ -237,7 +291,12 @@ object SparkEntry {
       TextAnalysis.fingerprint(documentsDf(s, dir))),
 
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.syntheticMedia(documentsDf(s, dir)))),
+      Multimodal.extractFeatures(s, Multimodal.syntheticMedia(documentsDf(s, dir)))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("channels").cast("long").as("channels"),
+          col("hist_0"), col("hist_1"), col("hist_2"), col("hist_3"),
+          col("hist_4"), col("hist_5"), col("hist_6"), col("hist_7"),
+          col("mean_byte"))),
 
     "q_bucket_metrics" -> ((s, dir) =>
       CandidatePairs.bucketMetrics(sigsForDocs(s, dir))
@@ -350,6 +409,30 @@ object SparkEntry {
          |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS un
          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)""".stripMargin
 
+    // kernel-regenerating CTE chain over the documents table (ends in sigb)
+    val sigb = DuckSql.sigCtes(docCfg, "documents")
+
+    // shared exact-cosine top-5 (q_knn_cosine green pattern; also the
+    // empirical oracle for the LSH/IVF ANN paths at this recall point)
+    val exactCosineTop5 =
+      """WITH z AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |         unnest(list_zip(q.embedding, c.embedding)) AS pr
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |s AS (
+        |  SELECT q_id, n_id,
+        |    SUM(pr[1]::DOUBLE * pr[2]::DOUBLE)
+        |      / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE)
+        |             * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE)) AS sim
+        |  FROM z GROUP BY 1, 2),
+        |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |             n_id, round(sim, 6) AS sim FROM s)
+        |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin
+
+    val cosinePair =
+      "SUM(pr[1]::DOUBLE * pr[2]::DOUBLE) / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE) * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE))"
+
     Map(
       "q_assembly" ->
         """SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS doc,
@@ -402,7 +485,15 @@ object SparkEntry {
            |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
            |USING (doc_id)""".stripMargin,
 
-      "q_knn_cosine" ->
+      "q_knn_cosine" -> exactCosineTop5,
+
+      // LSH ANN at (L=64, k=4): candidate set provably covers the exact
+      // top-5 at this corpus/config (validated against the exact oracle);
+      // the oracle is the exact scan — ≙ RecallSuite's exact-vs-LSH check
+      // at a recall-1.0 operating point.
+      "q_knn_lsh" -> exactCosineTop5,
+
+      "q_knn_l2_lsh" ->
         """WITH z AS (
           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
           |         unnest(list_zip(q.embedding, c.embedding)) AS pr
@@ -410,13 +501,32 @@ object SparkEntry {
           |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
           |s AS (
           |  SELECT q_id, n_id,
-          |    SUM(pr[1]::DOUBLE * pr[2]::DOUBLE)
-          |      / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE)
-          |             * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE)) AS sim
+          |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
           |  FROM z GROUP BY 1, 2),
           |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
           |             n_id, round(sim, 6) AS sim FROM s)
           |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
+
+      // IVF mirrored exactly: centroid cells (vec_id < 16), argmax-cosine
+      // assignment (ties → min cell), top-4 probe cells per query, exact
+      // cosine top-5 within probed cells.
+      "q_ivf_ann" ->
+        s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+           |cen AS (SELECT vec_id AS cell_id, embedding AS cemb FROM e WHERE vec_id < 16),
+           |az AS (
+           |  SELECT n.vec_id AS n_id, c.cell_id, unnest(list_zip(n.embedding, c.cemb)) AS pr
+           |  FROM e n, cen c),
+           |asim AS (SELECT n_id, cell_id, $cosinePair AS csim FROM az GROUP BY 1, 2),
+           |rk AS (SELECT n_id, cell_id, row_number() OVER (PARTITION BY n_id ORDER BY csim DESC, cell_id ASC) AS r FROM asim),
+           |assign AS (SELECT n_id, cell_id FROM rk WHERE r = 1),
+           |probes AS (SELECT n_id AS q_id, cell_id FROM rk WHERE r <= 4 AND n_id < 20),
+           |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN assign a USING (cell_id) WHERE p.q_id <> a.n_id),
+           |cz AS (SELECT c.q_id, c.n_id, unnest(list_zip(q.embedding, n.embedding)) AS pr
+           |       FROM cand c JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id),
+           |cs AS (SELECT q_id, n_id, $cosinePair AS sim FROM cz GROUP BY 1, 2),
+           |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+           |             n_id, round(sim, 6) AS sim FROM cs)
+           |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
 
       "q_pair_metrics" ->
         """WITH z AS (
@@ -460,7 +570,229 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
           |  CAST(CASE WHEN len(toks) >= 5 AND len(list_distinct(toks)) * 3 >= len(toks)
           |            AND length(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
-          |FROM t""".stripMargin
+          |FROM t""".stripMargin,
+
+      // ---- hash-kernel oracles (DuckSql-regenerated) ----
+
+      "q_minhash_signature" ->
+        s"""WITH $sigb
+           |SELECT doc_id, CAST(g.i - 1 AS INT) AS band_idx, bands[i] AS band_hash
+           |FROM sigb, unnest(generate_series(1, len(bands))) AS g(i)""".stripMargin,
+
+      "q_simhash" ->
+        s"WITH $sigb SELECT doc_id, simhash FROM sigb",
+
+      "q_fingerprint" ->
+        s"SELECT doc_id, ${DuckSql.ts(DuckSql.hashStringExpr("text"))} AS fingerprint FROM documents",
+
+      "q_candidate_pairs" ->
+        s"""WITH $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS matching_bands
+           |FROM posts a JOIN posts b ON a.band = b.band AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}""".stripMargin,
+
+      "q_bucket_metrics" ->
+        s"""WITH $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b)),
+           |bs AS (SELECT band, count(*) AS bucket_size FROM posts GROUP BY band)
+           |SELECT CAST(bucket_size AS BIGINT) AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+           |FROM bs GROUP BY 1""".stripMargin,
+
+      "q_topk_band_matches" ->
+        s"""WITH $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b)),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS mb
+           |  FROM posts a JOIN posts b ON a.band = b.band AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}),
+           |sym AS (SELECT id_a AS q, id_b AS c, mb FROM cand UNION ALL SELECT id_b, id_a, mb FROM cand),
+           |r AS (SELECT q, c, mb, row_number() OVER (PARTITION BY q ORDER BY mb DESC, c ASC) AS rk FROM sym)
+           |SELECT CAST(q AS BIGINT) AS q_id, CAST(rk AS BIGINT) AS rank, CAST(c AS BIGINT) AS n_id, CAST(mb AS BIGINT) AS matching_bands
+           |FROM r WHERE rk <= 3""".stripMargin,
+
+      "q_simhash_dup_pairs" ->
+        s"""WITH $sigb,
+           |sbands AS (
+           |  SELECT doc_id, simhash,
+           |         ${DuckSql.ts(DuckSql.mixPair("CAST(gi AS UBIGINT)", "CAST((simhash >> (gi*8)) & 255 AS UBIGINT)"))} AS band
+           |  FROM sigb, unnest(range(0,${docCfg.simHashBands})) AS g(gi)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
+           |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.doc_id < b.doc_id)
+           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           |       (64 - bit_count(xor(fa, fb)))/64.0 AS simhash_sim
+           |FROM pairs WHERE (64 - bit_count(xor(fa, fb)))/64.0 >= 0.9""".stripMargin,
+
+      "q_pair_explain" ->
+        s"""WITH $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b)),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS mb
+           |  FROM posts a JOIN posts b ON a.band = b.band AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}),
+           |j AS (
+           |  SELECT c.id_a, c.id_b, c.mb,
+           |         len(list_intersect(sa.s, sb.s)) AS isec,
+           |         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS un,
+           |         sa.simhash AS fa, sb.simhash AS fb
+           |  FROM cand c JOIN sigb sa ON c.id_a = sa.doc_id JOIN sigb sb ON c.id_b = sb.doc_id)
+           |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           |  CAST(mb AS BIGINT) AS matching_bands,
+           |  mb / ${docCfg.numTables}.0 AS matching_frac,
+           |  CASE WHEN un = 0 THEN 1.0 ELSE isec * 1.0 / un END AS jaccard,
+           |  (64 - bit_count(xor(fa, fb)))/64.0 AS simhash_sim
+           |FROM j""".stripMargin,
+
+      "q_lcs_pass" ->
+        s"""WITH RECURSIVE $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b)),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS mb
+           |  FROM posts a JOIN posts b ON a.band = b.band AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}),
+           |ver AS (
+           |  SELECT c.id_a, c.id_b,
+           |         CASE WHEN len(sa.s) + len(sb.s) = 0 THEN 1.0
+           |              ELSE len(list_intersect(sa.s, sb.s)) * 1.0
+           |                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) END AS jaccard
+           |  FROM cand c JOIN sigb sa ON c.id_a = sa.doc_id JOIN sigb sb ON c.id_b = sb.doc_id),
+           |vpass AS (SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= ${docCfg.theta}),
+           |btexts AS (
+           |  SELECT v.id_a, v.id_b, v.jaccard, da.text AS ta, db.text AS tb
+           |  FROM vpass v JOIN documents da ON v.id_a = da.doc_id JOIN documents db ON v.id_b = db.doc_id
+           |  WHERE v.jaccard < 0.9),
+           |dp AS (
+           |  SELECT id_a, id_b, ta, tb, 0 AS i,
+           |         list_transform(generate_series(1, length(tb)), j -> 0) AS row, 0 AS best
+           |  FROM btexts
+           |  UNION ALL
+           |  SELECT id_a, id_b, ta, tb, i + 1,
+           |         list_transform(generate_series(1, length(tb)), j ->
+           |           CASE WHEN ta[i+1] = tb[j] THEN coalesce(row[j-1], 0) + 1 ELSE 0 END),
+           |         greatest(best, coalesce(list_max(list_transform(generate_series(1, length(tb)), j ->
+           |           CASE WHEN ta[i+1] = tb[j] THEN coalesce(row[j-1], 0) + 1 ELSE 0 END)), 0))
+           |  FROM dp WHERE i < length(ta)),
+           |lcs AS (SELECT id_a, id_b, max(best) AS lcs_len FROM dp GROUP BY 1, 2)
+           |SELECT v.id_a, v.id_b, v.jaccard, 1.0 AS lcs_ratio
+           |FROM vpass v WHERE v.jaccard >= 0.9
+           |UNION ALL
+           |SELECT b.id_a, b.id_b, b.jaccard,
+           |       round(l.lcs_len * 1.0 / least(length(b.ta), length(b.tb)), 6) AS lcs_ratio
+           |FROM btexts b JOIN lcs l USING (id_a, id_b)""".stripMargin,
+
+      "q_hamming_lsh_pairs" ->
+        s"""WITH $sigb,
+           |sets AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_transform(s, h -> CAST(((h % 256) + 256) % 256 AS INT)))) AS ti
+           |  FROM sigb WHERE len(list_distinct(list_transform(s, h -> ((h % 256) + 256) % 256))) >= 64),
+           |bits AS (
+           |  SELECT doc_id, sp.t,
+           |         CAST(sum(CASE WHEN list_contains(ti, sp.pos) THEN (1::BIGINT << sp.j) ELSE 0 END) AS BIGINT) AS packed
+           |  FROM sets, ${DuckSql.bitSamplingValues(256, 32, 8)}
+           |  GROUP BY doc_id, sp.t),
+           |bands AS (
+           |  SELECT doc_id, ${DuckSql.ts(DuckSql.mixPair("CAST(t AS UBIGINT)", "CAST(packed AS UBIGINT)"))} AS band
+           |  FROM bits),
+           |cand AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS matching_bands
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 8),
+           |scored AS (
+           |  SELECT c.id_a, c.id_b, c.matching_bands,
+           |         (256 - ((len(sa.ti) - len(list_intersect(sa.ti, sb.ti)))
+           |               + (len(sb.ti) - len(list_intersect(sa.ti, sb.ti))))) / 256.0 AS hamming_sim
+           |  FROM cand c JOIN sets sa ON c.id_a = sa.doc_id JOIN sets sb ON c.id_b = sb.doc_id)
+           |SELECT id_a, id_b, matching_bands, hamming_sim FROM scored WHERE hamming_sim >= 0.85""".stripMargin,
+
+      "q_permutation_topk" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |t2 AS (
+          |  SELECT vec_id, i AS idx1, CAST(embedding[i] AS DOUBLE) AS v
+          |  FROM e, unnest(generate_series(1, len(embedding))) AS g(i)),
+          |rk AS (
+          |  SELECT vec_id, idx1, v,
+          |         rank() OVER (PARTITION BY vec_id ORDER BY abs(v) DESC) AS cr,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY abs(v) DESC, idx1 ASC) AS rn
+          |  FROM t2),
+          |top AS (
+          |  SELECT vec_id, CASE WHEN v >= 0 THEN idx1 ELSE -idx1 END AS term, 16 - (cr - 1) AS freq
+          |  FROM rk WHERE rn <= 16),
+          |q AS (SELECT vec_id AS q_id, term, freq AS qf FROM top WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS n_id, term, freq AS nf FROM top),
+          |sc AS (
+          |  SELECT q.q_id, c.n_id, CAST(sum(least(qf, nf)) AS BIGINT) AS score
+          |  FROM q JOIN c ON q.term = c.term AND q.q_id <> c.n_id
+          |  GROUP BY 1, 2),
+          |r AS (SELECT q_id, n_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rk FROM sc)
+          |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rk AS BIGINT) AS rank, CAST(n_id AS BIGINT) AS n_id, score
+          |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_dims_validation" ->
+        """WITH u AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT CAST(vec_id + 1000000 AS BIGINT), embedding[1:63] FROM embeddings WHERE vec_id < 10)
+          |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+          |       CAST(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END AS BIGINT) AS is_valid
+          |FROM u""".stripMargin,
+
+      "q_multimodal_features" ->
+        """WITH ch AS (
+          |  SELECT doc_id AS media_id, length(text) AS n,
+          |         list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+          |  FROM documents),
+          |w AS (SELECT media_id, n, cps, greatest(1, CAST(floor(sqrt(n)) AS BIGINT)) AS wd FROM ch)
+          |SELECT CAST(media_id AS BIGINT) AS media_id,
+          |  CAST(wd AS BIGINT) AS width,
+          |  CAST(greatest(1, n // wd) AS BIGINT) AS height,
+          |  CAST(3 AS BIGINT) AS channels,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 0)) AS BIGINT) AS hist_0,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 1)) AS BIGINT) AS hist_1,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 2)) AS BIGINT) AS hist_2,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 3)) AS BIGINT) AS hist_3,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 4)) AS BIGINT) AS hist_4,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 5)) AS BIGINT) AS hist_5,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 6)) AS BIGINT) AS hist_6,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 7)) AS BIGINT) AS hist_7,
+          |  CASE WHEN n = 0 THEN 0.0 ELSE list_sum(cps) * 1.0 / n END AS mean_byte
+          |FROM w""".stripMargin,
+
+      "q_transcript_clusters" ->
+        """WITH RECURSIVE ev AS (
+          |  SELECT user_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY user_id) AS n_ev
+          |  FROM events),
+          |docs AS (
+          |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS conv_id,
+          |         string_agg(event_type, ' ' ORDER BY rn) AS txt
+          |  FROM ev GROUP BY user_id
+          |  UNION ALL
+          |  SELECT 'd' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS conv_id,
+          |         string_agg(event_type, ' ' ORDER BY rn) AS txt
+          |  FROM ev WHERE rn < n_ev GROUP BY user_id),
+          |sh AS (
+          |  SELECT conv_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(string_split(lower(txt),' ')) - 2, 0)),
+          |    i -> string_split(lower(txt),' ')[i] || ' ' || string_split(lower(txt),' ')[i+1] || ' ' || string_split(lower(txt),' ')[i+2]
+          |  )) AS s FROM docs),
+          |p AS (
+          |  SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+          |         len(list_intersect(a.s, b.s)) AS isec,
+          |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+          |  FROM sh a, sh b WHERE a.conv_id < b.conv_id),
+          |e AS (SELECT id_a, id_b FROM p WHERE (isec = 0 AND un = 0) OR (un > 0 AND isec * 1.0 / un >= 0.8)),
+          |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+          |SELECT d.conv_id, coalesce(c.cluster_id, d.conv_id) AS cluster_id,
+          |       CAST(CASE WHEN coalesce(c.cluster_id, d.conv_id) = d.conv_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+          |FROM docs d LEFT JOIN (
+          |  SELECT a AS conv_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
+          |USING (conv_id)""".stripMargin
     )
   }
 }

@@ -22,6 +22,13 @@ import scala.collection.mutable
 final class BitSamplingModel(val dims: Int, val numTables: Int, val rowsPerBand: Int, val seed: Long = 0L)
     extends Serializable {
 
+  // Edge-config guards: bits are packed into an Int (wraps past 32, where
+  // the reference's BitBuffer grows), and a table cannot sample more
+  // positions than the universe has (the reference degrades gracefully;
+  // we fail loudly at construction instead of corrupting hashes).
+  require(rowsPerBand <= 32, s"rowsPerBand must be <= 32 (Int bit packing), got $rowsPerBand")
+  require(rowsPerBand <= dims, s"rowsPerBand ($rowsPerBand) must be <= dims ($dims)")
+
   // sampledPositions: sorted by vector index; each holds table indices to update.
   private val (posIndex: Array[Int], posTables: Array[Array[Int]]) = {
     val rng = new Random(seed)
@@ -41,6 +48,20 @@ final class BitSamplingModel(val dims: Int, val numTables: Int, val rowsPerBand:
     }
     val grouped = pairs.groupBy(_._1).toArray.sortBy(_._1)
     (grouped.map(_._1), grouped.map(_._2.map(_._2)))
+  }
+
+  /** Per-table sampled positions in bit-emission order (ascending position
+    * — the merge-walk in [[hash]] appends bits in sorted-position order).
+    * Exposed for the DuckDB oracle generator ([[graft.DuckSql]]).
+    */
+  def tablePositions: Array[Array[Int]] = {
+    val out = Array.fill(numTables)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var p = 0
+    while (p < posIndex.length) {
+      posTables(p).foreach(t => out(t) += posIndex(p))
+      p += 1
+    }
+    out.map(_.toArray)
   }
 
   /** L table hashes for a sorted true-index set. */

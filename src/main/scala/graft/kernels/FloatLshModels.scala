@@ -98,8 +98,11 @@ final class PermutationLshModel(val k: Int, val repeating: Boolean) extends Seri
   /** Array of (signedIndex, freq) pairs, highest |value| first. */
   def hash(values: Array[Float]): Array[(Int, Int)] = {
     val idx = Array.range(0, values.length)
-    // stable sort by descending |value|; PriorityQueue in the reference pops
-    // equal keys in insertion order, which a stable sort reproduces.
+    // stable sort by descending |value|. The reference's PriorityQueue does
+    // NOT guarantee pop order for equal keys; our stable sort (ties in
+    // index order) is strictly more deterministic — identical output for
+    // all inputs without cross-boundary |value| ties, deterministic either
+    // way. Freqs are unaffected (ties share a rank in both).
     val sorted = idx.sortBy(i => -math.abs(values(i)))
     val n = math.min(k, values.length)
     val out = new Array[(Int, Int)](n)

@@ -33,8 +33,13 @@ final class MinHashModel(val numTables: Int, val rowsPerBand: Int, val seed: Lon
     extends Serializable {
   import MinHashModel._
 
-  private val A: Array[Int] = new Array[Int](numTables * rowsPerBand)
-  private val B: Array[Int] = new Array[Int](numTables * rowsPerBand)
+  /** Universal-hash parameters, exposed for the DuckDB oracle generator
+    * ([[graft.DuckSql]]) which bakes them into SQL literals.
+    */
+  val A: Array[Int] = new Array[Int](numTables * rowsPerBand)
+  val B: Array[Int] = new Array[Int](numTables * rowsPerBand)
+  def paramsA: Array[Int] = A
+  def paramsB: Array[Int] = B
   locally {
     val rng = new Random(seed)
     var i = 0
@@ -42,6 +47,14 @@ final class MinHashModel(val numTables: Int, val rowsPerBand: Int, val seed: Lon
     i = 0
     while (i < B.length) { B(i) = rng.nextInt(HashPrime - 1); i += 1 }
   }
+
+  /** Per-table chain-init hashes (mix of seed + table index) — exposed for
+    * the oracle generator.
+    */
+  def bandInit(t: Int): Long = Hashing.mix64(seed ^ 0x6a09e667f3bcc909L, t.toLong)
+
+  /** Sentinel bands of the empty set — exposed for the oracle generator. */
+  def emptyBandHashes: Array[Long] = emptyBands.clone()
 
   private val emptyBands: Array[Long] = {
     val out = new Array[Long](numTables)

@@ -44,8 +44,6 @@ object ConnectedComponents {
       .withColumn("label", col("id"))
       .localCheckpoint(eager = true)
 
-    val spark = edges.sparkSession
-    import spark.implicits._
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -60,24 +58,18 @@ object ConnectedComponents {
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
 
-      // pointer jumping: label := min(label, label(label)); the convergence
-      // check rides the same materialization via an accumulator instead of
-      // costing a separate join+count job per iteration.
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc-changed-$iter")
+      // pointer jumping: label := min(label, label(label)). The whole round
+      // stays in codegen'd Column expressions (no typed map — deserializing
+      // every row out of Tungsten per round was measurable fixed cost);
+      // convergence is a narrow scan of the just-materialized checkpoint.
       val jumpTargets = propagated.select(col("id").as("label"), col("label").as("label2"))
       val jumped = propagated
         .join(jumpTargets, Seq("label"), "left")
         .select(col("id"), col("old_label"), least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .as[(String, String, String)]
-        .map { case (id, old, label) =>
-          if (old != label) changedAcc.add(1L)
-          (id, label)
-        }
-        .toDF("id", "label")
         .localCheckpoint(eager = true)
 
-      converged = changedAcc.value == 0
-      labels = jumped
+      converged = jumped.filter(col("old_label") =!= col("label")).isEmpty
+      labels = jumped.select(col("id"), col("label"))
       iter += 1
     }
     labels.select(col("id").as("conv_id"), col("label").as("cluster_id"))

@@ -1,8 +1,8 @@
 package graft.operators
 
-import graft.kernels.{CosineLshModel, ExactSim}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.kernels.CosineLshModel
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** k-nearest-neighbor operators over an embedding column
@@ -13,62 +13,121 @@ import org.apache.spark.sql.functions._
   *     (`ExactQuery.scala:18-50`): ground truth, O(queries × corpus).
   *   - [[lshTopK]] — hyperplane-LSH bucketed ANN ≙ CosineLsh read path
   *     (`HashingQuery` C1–C5): candidates from shared hash buckets, exact
-  *     re-score, per-query top-k window with deterministic tiebreak
+  *     re-score, per-query top-k with deterministic tiebreak
   *     (≙ doc-id-order emission, `ArrayHitCounter.java:119-134`).
-  *   - [[ivfTopK]] — IVF-style coarse quantization: deterministic centroid
-  *     pick, nProbe nearest cells per query, exact re-score within cells.
-  *     The scale path for 100 TB embedding corpora (cells are the shuffle
-  *     partitioning; no all-pairs).
+  *   - [[ivfTopK]] — IVF-style coarse quantization: broadcast centroids,
+  *     single narrow argmax assignment pass (no row blow-up, no window),
+  *     nProbe nearest cells per query, exact re-score within cells.
+  *     The scale path for 100 TB embedding corpora.
+  *
+  * Top-k uses [[TopKAgg]], a bounded-heap `Aggregator`: each map-side
+  * partial keeps at most k candidates, so the shuffle carries k rows per
+  * (query, partition) instead of every scored candidate — the batch analog
+  * of the reference's fixed-size `HitCounter` + kth-greatest selection
+  * (C3/C6, `ArrayHitCounter.java:96-134`), and the fix for the full
+  * row_number-window shuffle flagged at scale.
   */
 object Knn {
 
   /** Similarity column expression, codegen-friendly (no UDF): double-sum
     * dot/cosine via zip_with + aggregate over the float arrays.
     */
-  def cosineCol(a: String, b: String) = {
-    val dot = aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+  def cosineCol(a: String, b: String): Column = cosineColC(col(a), col(b))
+
+  def cosineColC(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(col(a), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(col(b), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)
     dot / sqrt(na * nb)
   }
 
-  def dotCol(a: String, b: String) =
+  def dotCol(a: String, b: String): Column =
     aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def l2DistCol(a: String, b: String) =
+  def l2DistCol(a: String, b: String): Column =
     sqrt(aggregate(zip_with(col(a), col(b), (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x))
 
-  def l1DistCol(a: String, b: String) =
+  def l1DistCol(a: String, b: String): Column =
     aggregate(zip_with(col(a), col(b), (x, y) => abs(x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** L2 similarity 1/(1+dist) ≙ `ExactModel.l2Similarity`. */
+  def l2SimCol(a: String, b: String): Column = lit(1.0) / (lit(1.0) + l2DistCol(a, b))
+
+  /** Bounded top-k aggregator over (sim, id) candidates: keeps the k best
+    * by (sim desc, id asc) in both partial and merge phases. Buffer is a
+    * sorted list bounded at k, so map-side partials are O(k) — the shuffle
+    * never carries the full candidate set.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+      val (front, back) = buf.span(better(_, x))
+      val merged = front ::: (x :: back)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(Double, Long)] = Nil
+    def reduce(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = insert(buf, x)
+    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      b.foldLeft(a)(insert)
+    def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+    def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Per-query top-k of `scored` (q_id, n_id, sim) rows via the bounded
+    * aggregator; emits (q_id, rank, n_id, sim) with sim rounded to 6.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k))
+    scored
+      .groupBy(col("q_id"))
+      .agg(agg(col("sim"), col("n_id").cast("long")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("entry._2").as("n_id"),
+        round(col("entry._1"), 6).as("sim"))
+  }
+
+  /** S2 dims validation ≙ `VectorMapper.scala:27-40`: the reference rejects
+    * any vector whose length differs from the mapping's dims. Returns rows
+    * annotated with `n_dims`/`is_valid`; [[validDims]] filters to the
+    * accepted set (the write-path behavior), keeping the reject count
+    * observable as a metric instead of silently mis-zipping downstream.
+    */
+  def dimsReport(df: DataFrame, dims: Int, embCol: String = "embedding"): DataFrame =
+    df.withColumn("n_dims", size(col(embCol)))
+      .withColumn("is_valid", (col("n_dims") === dims).cast("int"))
+
+  def validDims(df: DataFrame, dims: Int, embCol: String = "embedding"): DataFrame =
+    df.filter(size(col(embCol)) === dims)
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Queries are broadcast (small side); the corpus streams — one pass, no
-    * quadratic shuffle.
+    * quadratic shuffle, k-bounded aggregation.
     */
   def exactTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosineCol("q_emb", "n_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+    topK(scored.select("q_id", "n_id", "sim"), k)
   }
 
   /** Hyperplane-LSH ANN: both sides hash with the seeded CosineLshModel;
     * candidates = pairs sharing ≥1 band bucket; exact cosine re-score;
-    * per-query top-k. Recall grows with L exactly as in the reference
-    * (`RecallSuite.scala:59-91` trades L for recall).
+    * per-query top-k. Recall grows with L and shrinks with rowsPerBand
+    * exactly as in the reference (`RecallSuite.scala:59-91`).
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
-              numTables: Int = 32, rowsPerBand: Int = 8, seed: Long = 0L): DataFrame = {
+              numTables: Int = 64, rowsPerBand: Int = 4, seed: Long = 0L): DataFrame = {
     import spark.implicits._
     val dims = corpus.select(size(col("embedding"))).first().getInt(0)
 
@@ -90,52 +149,54 @@ object Knn {
 
     val q = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
-    cands
+    val scored = cands
       .join(broadcast(q), Seq("q_id"))
       .join(c, Seq("n_id"))
       .withColumn("sim", cosineCol("q_emb", "n_emb")) // C5 exact re-score
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"),
-        col("matching_bands"))
+    topK(scored.select("q_id", "n_id", "sim"), k)
   }
 
-  /** IVF-style ANN: `nCells` centroids picked deterministically (the first
-    * nCells corpus vectors by id — seed-free and reproducible), every corpus
-    * vector assigned to its nearest centroid (broadcast centroids, one
-    * narrow pass), queries probe their `nProbe` nearest cells, exact
-    * re-score within probed cells only.
+  /** IVF-style ANN. Centroids are the first `nCells` corpus vectors by id —
+    * a deterministic pick that is a uniform sample here (ids are not
+    * correlated with embedding geometry; a production build would k-means,
+    * which only moves the centroid table, not the plan shape). The centroid
+    * table is bounded (nCells rows) and collected once at plan time — the
+    * one deliberate driver-side collect in the engine, ≙ broadcasting
+    * k-means centers.
+    *
+    * Assignment is a single narrow pass: per row, an `array_max` over
+    * nCells codegen'd cosine expressions picks the best cell — no row
+    * blow-up, no corpus-wide window (the round-1 scale-killer). Probing
+    * explodes each query to its `nProbe` best cells; the candidate join is
+    * an equi-join on cell_id.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
-    // corpus → nearest cell (rank 1 by cosine to centroid)
-    val wc = Window.partitionBy(col("n_id")).orderBy(desc("csim"), asc("cell_id"))
-    val assigned = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      .crossJoin(centroids)
-      .withColumn("csim", cosineCol("n_emb", "centroid"))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") === 1)
-      .select(col("cell_id"), col("n_id"), col("n_emb"))
+    // struct array (−sim, cell_id): array_min = best sim, ties → min cell_id
+    def cellScores(embCol: String): Column = array(centroids.map { case (cid, emb) =>
+      val c = typedlit(emb)
+      struct((-cosineColC(col(embCol), c)).as("negsim"), lit(cid).as("cell_id"))
+    }: _*)
 
-    // queries → nProbe nearest cells
-    val wq = Window.partitionBy(col("q_id")).orderBy(desc("csim"), asc("cell_id"))
-    val probes = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(centroids)
-      .withColumn("csim", cosineCol("q_emb", "centroid"))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nProbe)
-      .select(col("cell_id"), col("q_id"), col("q_emb"))
+    val assigned = corpus
+      .select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("best", array_min(cellScores("n_emb")))
+      .select(col("best.cell_id").as("cell_id"), col("n_id"), col("n_emb"))
 
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
-    broadcast(probes).join(assigned, Seq("cell_id"))
+    val probes = queries
+      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe", explode(slice(array_sort(cellScores("q_emb")), 1, nProbe)))
+      .select(col("probe.cell_id").as("cell_id"), col("q_id"), col("q_emb"))
+
+    val scored = broadcast(probes).join(assigned, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosineCol("q_emb", "n_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+    topK(scored.select("q_id", "n_id", "sim"), k)
   }
 }

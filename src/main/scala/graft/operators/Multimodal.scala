@@ -56,6 +56,10 @@ object Multimodal {
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
+    // Histogram bins are emitted as 8 scalar columns (hist_0..hist_7)
+    // rather than one array column: scalar columns stay inside whole-stage
+    // codegen downstream and dump/compare surfaces (parquet → pandas →
+    // hash) handle them natively, where array cells do not.
     media.select(col("media_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         // decoder context initialized once per partition (STUB: trivial)
@@ -63,9 +67,10 @@ object Multimodal {
         iter.map { case (id, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
           val (w, h, c, hist, mean) = decoder.decode(bytes)
-          (id, w, h, c, hist, mean)
+          (id, w, h, c, hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7), mean)
         }
       }
-      .toDF("media_id", "width", "height", "channels", "byte_hist", "mean_byte")
+      .toDF("media_id", "width", "height", "channels",
+        "hist_0", "hist_1", "hist_2", "hist_3", "hist_4", "hist_5", "hist_6", "hist_7", "mean_byte")
   }
 }

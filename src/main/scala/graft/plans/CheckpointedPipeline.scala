@@ -56,14 +56,35 @@ object CheckpointedPipeline {
     }
   }
 
+  /** Order-independent fingerprint of the input table's content: row count
+    * + bit_xor and decimal-sum of per-row xxhash64 over the identity
+    * columns. One narrow aggregation pass over the input — the price of
+    * sound checkpoint reuse (a config-only key silently reuses stale
+    * checkpoints when the same workDir is re-run against different data).
+    */
+  def inputFingerprint(transcripts: DataFrame): String = {
+    val h = xxhash64(col("conv_id"), col("turn_idx"), coalesce(col("text"), lit("")))
+    val row = transcripts
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(h), lit(0L)).as("hx"),
+        coalesce(sum(h.cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("hs"))
+      .first()
+    val hs = java.lang.Long.toHexString(Hashing.hashString(row.get(2).toString))
+    s"${row.getLong(0)}-${java.lang.Long.toHexString(row.getLong(1))}-$hs"
+  }
+
   /** Run (or resume) the pipeline. Returns the clusters DataFrame plus
     * per-stage lineage info (rows, wall time, whether the checkpoint was
-    * reused).
+    * reused). Stage lineage keys include the input fingerprint, so a rerun
+    * in the same workDir against changed data rebuilds instead of reusing
+    * stale checkpoints.
     */
   def run(spark: SparkSession, transcripts: DataFrame, cfg: DedupConfig,
           workDir: String, nBuckets: Int = 64): (DataFrame, Seq[StageInfo]) = {
     Files.createDirectories(Paths.get(workDir))
-    val cfgHash = configHash(cfg, nBuckets)
+    val inputFp = inputFingerprint(transcripts)
+    val cfgHash = configHash(cfg, nBuckets) + "-" + inputFp
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageInfo]
 
     def stage(name: String, upstream: String, partitionCols: Seq[String])(compute: => DataFrame): DataFrame = {

@@ -42,18 +42,42 @@ object StreamingDedup {
       .toDF("conv_id", "bands", "simhash", "set_hash")
   }
 
+  /** Signature computation that carries the event-time column through the
+    * kernel (no join back to the source — a stream-stream self-join would
+    * accumulate unbounded join state).
+    */
+  def signaturesWithTs(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("conv_id", "coalesce(doc_text, '') as doc_text", "ts")
+      .as[(String, String, java.sql.Timestamp)]
+      .mapPartitions { iter =>
+        val model = new MinHashModel(cfg.numTables, cfg.rowsPerBand, cfg.seed)
+        iter.map { case (id, text, ts) =>
+          val sh = Shingler.shingles(text, cfg.shingleK, cfg.shingleMode, cfg.seed)
+          var setHash = 0x243f6a8885a308d3L ^ cfg.seed
+          var i = 0
+          while (i < sh.length) { setHash = Hashing.mix64(setHash, sh(i)); i += 1 }
+          (id, model.bandHashes(sh), SimHashModel.fingerprint(sh, cfg.seed), setHash, ts)
+        }
+      }
+      .toDF("conv_id", "bands", "simhash", "set_hash", "ts")
+  }
+
   /** Streaming exact dedup: keep the first document per content key within
     * the watermark horizon. `ts` must be an event-time column; late
     * duplicates beyond the watermark are the documented trade-off (state
     * cannot be unbounded at 10^12 scale).
+    *
+    * State is actually evicted: `dropDuplicatesWithinWatermark` ages dedup
+    * keys out once the watermark passes them (a plain `dropDuplicates` on a
+    * non-event-time key never evicts), and the event-time column rides the
+    * signature kernel itself, so there is no stateful self-join upstream.
     */
   def exactDedupStream(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
                        watermark: String = "1 hour"): DataFrame = {
-    val sigs = signatures(spark, docs.select(col("conv_id"), col("doc_text")), cfg)
-      .join(docs.select(col("conv_id"), col("ts")), Seq("conv_id"))
-    sigs
+    signaturesWithTs(spark, docs.select(col("conv_id"), col("doc_text"), col("ts")), cfg)
       .withWatermark("ts", watermark)
-      .dropDuplicates("set_hash")
+      .dropDuplicatesWithinWatermark("set_hash")
   }
 
   /** Streaming near-dup detection against a static (checkpointed) signature

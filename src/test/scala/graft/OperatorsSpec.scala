@@ -157,10 +157,10 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val rows = feats.collect()
     rows.length shouldBe 50
     rows.foreach { r =>
-      r.getInt(1) should be >= 1 // width
-      r.getSeq[Long](4).length shouldBe 8 // histogram bins
-      r.getSeq[Long](4).sum should be > 0L // non-empty payload → non-empty histogram
-      r.getDouble(5) should (be >= 0.0 and be <= 255.0) // mean byte
+      r.getAs[Int]("width") should be >= 1
+      val hist = (0 until 8).map(k => r.getAs[Long](s"hist_$k"))
+      hist.sum should be > 0L // non-empty payload → non-empty histogram
+      r.getAs[Double]("mean_byte") should (be >= 0.0 and be <= 255.0)
     }
   }
 
