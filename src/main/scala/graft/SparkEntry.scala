@@ -370,6 +370,33 @@ object SparkEntry {
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
     }),
 
+    // ---- L2 multiprobe (H4 probing variant, ≙ L2LshModel.java:88-140):
+    //      query-side ±1 bucket perturbations raise recall at fixed L ----
+    "q_knn_l2_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddingsDf(s, dir)
+      val dims = emb.select(size(col("embedding"))).first().getInt(0)
+      def banded(df: org.apache.spark.sql.DataFrame, idCol: String, probes: Int) =
+        df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+          .mapPartitions { iter =>
+            val model = new graft.kernels.L2LshModel(dims, numTables = 12, rowsPerBand = 2, w = 4)
+            iter.flatMap { case (id, e) => model.hashWithProbes(e, probes).map(b => (id, b)) }
+          }.toDF(idCol, "band")
+      // corpus indexed unprobed; queries probe 6 perturbed buckets per table
+      val q = banded(emb.filter(col("vec_id") < 20), "q_id", probes = 6).distinct()
+      val c = banded(emb, "n_id", probes = 0)
+      val cands = q.join(c, Seq("band")).filter(col("q_id") =!= col("n_id"))
+        .select("q_id", "n_id").distinct()
+      val l2sim = udf { (a: Array[Float], b: Array[Float]) => graft.kernels.ExactSim.l2Sim(a, b) }
+      val qv = emb.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+      val cv = emb.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
+      cands.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+        .withColumn("sim", round(l2sim(col("q_emb"), col("n_emb")), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    }),
+
     // ---- Permutation LSH (H5) with freq-aware hit counting (C2,
     //      ≙ MatchHashesAndScoreQuery.java:74-81 min(queryFreq, docFreq)) ----
     "q_permutation_topk" -> ((s, dir) => {
@@ -492,6 +519,22 @@ object SparkEntry {
       // the oracle is the exact scan — ≙ RecallSuite's exact-vs-LSH check
       // at a recall-1.0 operating point.
       "q_knn_lsh" -> exactCosineTop5,
+
+      // multiprobe widens the candidate set beyond the unprobed path, so
+      // the recall-1.0 exact oracle holds a fortiori at this config
+      "q_knn_l2_multiprobe" ->
+        """WITH z AS (
+          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |         unnest(list_zip(q.embedding, c.embedding)) AS pr
+          |  FROM embeddings q, embeddings c
+          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+          |s AS (
+          |  SELECT q_id, n_id,
+          |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
+          |  FROM z GROUP BY 1, 2),
+          |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+          |             n_id, round(sim, 6) AS sim FROM s)
+          |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
 
       "q_knn_l2_lsh" ->
         """WITH z AS (

@@ -41,13 +41,20 @@ final class CosineLshModel(val dims: Int, val numTables: Int, val rowsPerBand: I
   }
 }
 
-/** L2 LSH (p-stable projections), no-probing variant — faithful to
+/** L2 LSH (p-stable projections) — faithful to
   * `/root/reference/elastiknn-models/.../models/L2LshModel.java:39-86`:
   * `A[L*k]` gaussian vectors then `B[L*k] = rng.nextFloat()*w`, hash
   * `floor((a·v + b) / w)` per row, k hashes concatenated per table with the
-  * table prefix. Multiprobe (`hashWithProbing`, `:88-140`) is a query-time
-  * recall knob for serving; in batch dedup we raise L instead (SURVEY §2.3
-  * H4), so probing is intentionally not implemented.
+  * table prefix.
+  *
+  * [[hashWithProbes]] re-derives the multiprobe variant
+  * (`L2LshModel.java:88-140`, Qin et al. 2007): query-side extra hashes
+  * from ±1 bucket perturbations, drawn best-first from a single heap of
+  * perturbation sets ordered by summed boundary distance, with the
+  * shift/expand successor rule generating only valid sets. In batch dedup
+  * raising L is usually the better knob (SURVEY §2.3 H4); probing is the
+  * serving-style alternative that trades query-side hash count for recall
+  * without reindexing.
   */
 final class L2LshModel(val dims: Int, val numTables: Int, val rowsPerBand: Int, val w: Int, val seed: Long = 0L)
     extends Serializable {
@@ -81,6 +88,106 @@ final class L2LshModel(val dims: Int, val numTables: Int, val rowsPerBand: Int, 
       }
       out(t) = h
       t += 1
+    }
+    out
+  }
+
+  /** Max probe sets per table: 3 deltas per row minus the all-zeros set. */
+  val maxProbesPerTable: Int = math.pow(3d, rowsPerBand).toInt - 1
+
+  private def bandHash(t: Int, buckets: Array[Int]): Long = {
+    var h = Hashing.mix64(seed ^ 0xbb67ae8584caa73bL, t.toLong)
+    var k = 0
+    while (k < rowsPerBand) { h = Hashing.mix64(h, buckets(k).toLong); k += 1 }
+    h
+  }
+
+  /** One candidate row perturbation: row `ixk` of table `ixL` shifted by
+    * `delta` ∈ {−1, +1}; `dist` = distance of the projection to the
+    * crossed bucket boundary (the Qin et al. success-likelihood proxy).
+    */
+  private final case class Pert(ixL: Int, ixk: Int, delta: Int, dist: Double)
+
+  /** A perturbation set: the chosen perturbations keyed by row, plus the
+    * cursor `ixMax` into the per-table sorted candidate array and the
+    * summed boundary distance (heap priority).
+    */
+  private final case class PSet(ixL: Int, members: Map[Int, Pert], ixMax: Int, sum: Double)
+
+  /** The unperturbed L hashes followed by `L * min(probes, maxProbesPerTable)`
+    * probe hashes drawn best-first (smallest summed boundary distance) from
+    * a single heap across all tables — ≙ `hashWithProbing`,
+    * `L2LshModel.java:88-140` with the same shift/expand successor rule.
+    */
+  def hashWithProbes(values: Array[Float], probes: Int): Array[Long] = {
+    if (probes <= 0) return hash(values)
+    val nProbes = math.min(probes, maxProbesPerTable)
+    val out = new Array[Long](numTables * (1 + nProbes))
+
+    // per-table: base buckets + the 2k candidate perturbations sorted by distance
+    val baseBuckets = Array.ofDim[Int](numTables, rowsPerBand)
+    val sorted = Array.ofDim[Pert](numTables, rowsPerBand * 2)
+    var t = 0
+    while (t < numTables) {
+      var k = 0
+      while (k < rowsPerBand) {
+        val i = t * rowsPerBand + k
+        val proj = ExactSim.dot(aParams(i), values) + bParams(i)
+        val bucket = math.floor(proj / w).toInt
+        baseBuckets(t)(k) = bucket
+        val dneg = proj - bucket.toDouble * w
+        sorted(t)(k * 2) = Pert(t, k, -1, math.abs(dneg))
+        sorted(t)(k * 2 + 1) = Pert(t, k, 1, math.abs(w - dneg))
+        k += 1
+      }
+      out(t) = bandHash(t, baseBuckets(t))
+      java.util.Arrays.sort(sorted(t), Ordering.by((p: Pert) => p.dist))
+      t += 1
+    }
+
+    // shift: replace the max-index member with the next candidate;
+    // expand: add the next candidate. Both recursively re-shift when the
+    // result would hold two perturbations of the same row.
+    def shift(cand: Array[Pert], ps: PSet): PSet =
+      if (ps.ixMax + 1 == cand.length) null
+      else {
+        val curr = cand(ps.ixMax)
+        val next = cand(ps.ixMax + 1)
+        val ns = PSet(ps.ixL, ps.members - curr.ixk + (next.ixk -> next), ps.ixMax + 1,
+          ps.sum - curr.dist + next.dist)
+        if (ps.members.contains(next.ixk) && curr.ixk != next.ixk) shift(cand, ns) else ns
+      }
+    def expand(cand: Array[Pert], ps: PSet): PSet =
+      if (ps.ixMax + 1 == cand.length) null
+      else {
+        val next = cand(ps.ixMax + 1)
+        val ns = PSet(ps.ixL, ps.members + (next.ixk -> next), ps.ixMax + 1, ps.sum + next.dist)
+        if (ps.members.contains(next.ixk)) shift(cand, ns) else ns
+      }
+
+    val heap = new java.util.PriorityQueue[PSet](Ordering.by((p: PSet) => p.sum))
+    t = 0
+    while (t < numTables) {
+      val head = sorted(t)(0)
+      heap.add(PSet(t, Map(head.ixk -> head), 0, head.dist))
+      t += 1
+    }
+
+    var ix = numTables
+    val buckets = new Array[Int](rowsPerBand)
+    while (ix < out.length) {
+      val ai = heap.remove()
+      val as = shift(sorted(ai.ixL), ai)
+      val ae = expand(sorted(ai.ixL), ai)
+      if (as != null) heap.add(as)
+      if (ae != null) heap.add(ae)
+      var k = 0
+      while (k < rowsPerBand) {
+        buckets(k) = baseBuckets(ai.ixL)(k) + ai.members.get(k).map(_.delta).getOrElse(0)
+        k += 1
+      }
+      out(ix) = bandHash(ai.ixL, buckets)
+      ix += 1
     }
     out
   }

@@ -127,6 +127,41 @@ class L2LshModelSpec extends AnyFunSuite with Matchers {
     val collFar = m.hash(a).zip(m.hash(far)).count { case (x, y) => x == y }
     collNear should be > collFar
   }
+
+  test("multiprobe: exactly L*(1+min(p, 3^k-1)) hashes (≙ L2LshSuite.scala:22-37 law)") {
+    val rng = new Random(5)
+    val v = Array.fill(16)(rng.nextFloat() * 10)
+    for {
+      l <- 1 to 6
+      k <- 1 to 4
+      m = new L2LshModel(dims = 16, numTables = l, rowsPerBand = k, w = 1)
+      maxForK = math.pow(3, k).toInt - 1
+      p <- 0 to maxForK + 3
+    } withClue(s"L=$l k=$k p=$p") {
+      m.hashWithProbes(v, p).length shouldBe l * (1 + math.min(p, maxForK))
+    }
+  }
+
+  test("multiprobe: first L hashes equal the no-probe hashes (≙ L2LshSuite.scala:39-46)") {
+    val rng = new Random(6)
+    val v = Array.fill(24)(rng.nextFloat() * 10)
+    val m = new L2LshModel(dims = 24, numTables = 10, rowsPerBand = 3, w = 1)
+    m.hashWithProbes(v, 3).take(10).toSeq shouldBe m.hash(v).toSeq
+  }
+
+  test("multiprobe: probe hashes are the neighbors' unprobed hashes (recall mechanism)") {
+    // a probe hash is useful iff it can equal the *unprobed* hash of a
+    // nearby vector in an adjacent bucket — verify probes of v cover the
+    // unprobed buckets of a shifted vector that no-probe hashing misses
+    val rng = new Random(7)
+    val v = Array.fill(8)(rng.nextFloat() * 5)
+    val u = v.map(_ + 0.4f)
+    val m = new L2LshModel(dims = 8, numTables = 12, rowsPerBand = 2, w = 2)
+    val noProbeHits = m.hash(v).toSet.intersect(m.hash(u).toSet).size
+    val probeHits = m.hashWithProbes(v, 8).toSet.intersect(m.hash(u).toSet).size
+    probeHits should be >= noProbeHits
+    probeHits should be > 0
+  }
 }
 
 class PermutationLshModelSpec extends AnyFunSuite with Matchers {
