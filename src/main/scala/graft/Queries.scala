@@ -35,6 +35,12 @@ object Queries {
   /** Hyperplane-LSH knn (≙ CosineLsh). */
   final case class CosineLshKnn(k: Int, numTables: Int = 32, rowsPerBand: Int = 8,
                                 queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+  /** knn by indexed vector id (≙ `Vec.Indexed`, `Vec.scala:80`): the query
+    * vector lives in the corpus and is resolved by id — the reference's
+    * async fetch-then-rewrite (`ElasticsearchQueryBuilder.scala` rewrite
+    * phase) re-grounded as a batch join/filter against the corpus table.
+    */
+  final case class KnnById(ids: Seq[Long], k: Int) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** IVF-partitioned knn (the batch scale path). */
   final case class IvfKnn(k: Int, nCells: Int = 16, nProbe: Int = 4,
                           queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
@@ -82,6 +88,9 @@ object Queries {
 
       case (ExactKnn(k, qf), _, _) =>
         Knn.exactTopK(qf(corpus), corpus, k)
+
+      case (KnnById(ids, k), _, _) =>
+        Knn.exactTopK(corpus.filter(col("vec_id").isin(ids: _*)), corpus, k)
 
       case (CosineLshKnn(k, l, r, qf), _, _) =>
         Knn.lshTopK(spark, qf(corpus), corpus, k, numTables = l, rowsPerBand = r)

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.{Dedup, DedupConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Dev utility: isolate the candidates/verify stages' scaling behavior.
+  * Args: cores nConvs [shufflePartitionsFactor] [aqe]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val nConvs = args(1).toLong
+    val factor = if (args.length > 2) args(2).toInt else 1
+    val aqe = if (args.length > 3) args(3).toBoolean else true
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * factor).toString)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val cfg = DedupConfig()
+    // warmup
+    Dedup.pipeline(s, graft.sources.TranscriptGen.df(s, 5000L), cfg).count()
+    def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    val dir = s"/tmp/graft-bench-transcripts-$nConvs"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+      graft.sources.TranscriptGen.df(s, nConvs).write.mode("overwrite").parquet(dir)
+    val input = s.read.parquet(dir)
+    val sigs = Dedup.signatures(s, Dedup.documents(input), cfg).localCheckpoint(true)
+    val mapping = Dedup.exactGroups(sigs).localCheckpoint(true)
+    val repSigs = sigs.join(mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi").localCheckpoint(true)
+    val tCand = time { graft.RefHolder.df = Dedup.candidates(repSigs, cfg).localCheckpoint(true) }
+    val cands = graft.RefHolder.df
+    val nC = cands.count()
+    val tVer = time { graft.RefHolder.df = Dedup.verify(cands, repSigs, cfg).localCheckpoint(true) }
+    val nV = graft.RefHolder.df.count()
+    println(f"SCALEPROBE cores=$cores factor=$factor aqe=$aqe cand=$tCand%.2f verify=$tVer%.2f nCand=$nC nVer=$nV")
+    s.stop()
+  }
+}

@@ -50,6 +50,31 @@ class StreamingQueriesSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     } finally q.stop()
   }
 
+  test("dedup state is evicted past the watermark (bounded-state contract)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val docs = mem.toDF().toDF("conv_id", "doc_text", "ts")
+    val out = StreamingDedup.exactDedupStream(s, docs, DedupConfig(), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_evict").outputMode("append").start()
+    try {
+      mem.addData(("a", "same duplicate content here folks", Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past a's eviction horizon (00:00 + 1h)
+      mem.addData(("w", "unrelated watermark advancing doc", Timestamp.valueOf("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      // same content again, well after eviction: with bounded state this is
+      // re-emitted (the key aged out); unbounded state would suppress it
+      mem.addData(("a2", "same duplicate content here folks", Timestamp.valueOf("2024-01-01 05:30:00")))
+      q.processAllAvailable()
+      mem.addData(("z", "final flusher document text", Timestamp.valueOf("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val ids = s.sql("select conv_id from dedup_evict").collect().map(_.getString(0)).toSet
+      ids should contain allOf ("a", "a2")
+    } finally q.stop()
+  }
+
   test("streaming signatures equal batch signatures on identical docs") {
     val s = spark
     import s.implicits._
@@ -98,6 +123,13 @@ class StreamingQueriesSpec extends AnyFunSuite with Matchers with BeforeAndAfter
 
     // knn on vectors works
     Queries.run(s, vecs, Queries.ExactKnn(3, _.filter(col("vec_id") < 3))).count() shouldBe 9
+
+    // query-by-indexed-id (Q4 ≙ Vec.Indexed) equals the filter formulation
+    val byId = Queries.run(s, vecs, Queries.KnnById(Seq(0L, 1L, 2L), 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val byFilter = Queries.run(s, vecs, Queries.ExactKnn(3, _.filter(col("vec_id") < 3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    byId shouldBe byFilter
 
     // incompatible combinations rejected before execution
     an[IllegalArgumentException] should be thrownBy Queries.run(s, vecs, Queries.MinHashDedup())
