@@ -35,9 +35,13 @@ object ScaleProbe {
     val tCand = time { graft.RefHolder.df = Dedup.candidates(repSigs, cfg).localCheckpoint(true) }
     val cands = graft.RefHolder.df
     val nC = cands.count()
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      Dedup.verify(cands, repSigs, cfg).explain("formatted")
     val tVer = time { graft.RefHolder.df = Dedup.verify(cands, repSigs, cfg).localCheckpoint(true) }
     val nV = graft.RefHolder.df.count()
     println(f"SCALEPROBE cores=$cores factor=$factor aqe=$aqe cand=$tCand%.2f verify=$tVer%.2f nCand=$nC nVer=$nV")
+    val tFused = time { graft.RefHolder.df = Dedup.verify(Dedup.candidates(repSigs, cfg), repSigs, cfg).localCheckpoint(true) }
+    println(f"SCALEPROBE-FUSED cores=$cores candver=$tFused%.2f rows=${graft.RefHolder.df.count()}")
     s.stop()
   }
 }
