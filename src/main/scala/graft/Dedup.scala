@@ -50,6 +50,19 @@ object Dedup {
     sigs.select(col("conv_id"), col("set_hash")).join(reps, Seq("set_hash")).select(col("conv_id"), col("rep"))
   }
 
+  /** Representative (conv_id, bands) rows in ONE aggregation: `min_by`
+    * pulls each exact-group's min-id row directly, replacing the
+    * groupBy+join-back+semi-join chain (three exchanges, two of them
+    * carrying the bands column) with a single set_hash-keyed shuffle.
+    * Partial aggregation combines map-side, so duplicate-heavy corpora
+    * shrink before the exchange.
+    */
+  def repBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("set_hash"), col("conv_id"), col("bands"))
+      .groupBy(col("set_hash"))
+      .agg(min_by(struct(col("conv_id"), col("bands")), col("conv_id")).as("r"))
+      .select(col("r.conv_id").as("conv_id"), col("r.bands").as("bands"))
+
   /** The whole pipeline: transcripts → cluster assignment.
     *
     * Shape: signatures (materialized once — consumed by three branches) →
@@ -65,10 +78,19 @@ object Dedup {
   def pipeline(spark: SparkSession, transcripts: DataFrame, cfg: DedupConfig): DataFrame = {
     val sigs = signatures(spark, documents(transcripts), cfg).localCheckpoint(eager = true)
     val mapping = exactGroups(sigs)
-    val repSigs = sigs.join(
-      mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi")
-    val verified = verify(candidates(repSigs, cfg), repSigs, cfg)
-    val repClusters = ConnectedComponents.assign(repSigs.select(col("conv_id")), verified)
+    // Only (conv_id, bands) of each group representative feeds candidates
+    // (single min_by aggregation — see repBands): the shingle payload is
+    // KB/row vs ~0.5 KB of bands, and verify re-attaches it member-reduced
+    // from the checkpointed sigs anyway (candidate members are always
+    // reps). Shuffling the payload through the rep selection was the
+    // single most expensive stage at 300k convs (32 s of a 94 s run).
+    val rb = repBands(sigs)
+    val verified = verify(candidates(rb, cfg), sigs, cfg)
+    // allIds for the cluster assignment re-derives the rep id set from the
+    // strings-only mapping (cheap) rather than re-running the bands-carrying
+    // min_by aggregation a second time
+    val reps = mapping.select(col("rep").as("conv_id")).distinct()
+    val repClusters = ConnectedComponents.assign(reps, verified)
     mapping
       .join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))
       .select(col("conv_id"), col("cluster_id"))

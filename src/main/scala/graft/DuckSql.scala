@@ -180,6 +180,13 @@ sigb AS (
 )"""
   }
 
+  /** Signed-BIGINT expr ≙ [[graft.operators.Knn.ivfTopK]]'s centroid-sample
+    * order key `Hashing.mix64(IvfSampleSeed, vec_id)`: the oracle
+    * re-derives the same pseudo-random corpus sample.
+    */
+  def ivfSampleHashExpr(idExpr: String): String =
+    ts(mixPair(s"${unsignedStr(graft.operators.Knn.IvfSampleSeed)}::UBIGINT", su(idExpr)))
+
   /** VALUES table `(t, j, pos)`: bit `j` of Hamming-LSH table `t` samples
     * vector position `pos` — ≙ [[graft.kernels.BitSamplingModel]]'s
     * merge-walk emission order (bits appended in ascending position order).

@@ -67,9 +67,11 @@ object Queries {
       case (MinHashDedup(cfg), _, _) =>
         val sigs = Dedup.signatures(spark, corpus, cfg).localCheckpoint(eager = true)
         val mapping = Dedup.exactGroups(sigs)
-        val repSigs = sigs.join(mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi")
-        val verified = Dedup.verify(Dedup.candidates(repSigs, cfg), repSigs, cfg)
-        val repClusters = ConnectedComponents.assign(repSigs.select(col("conv_id")), verified)
+        // bands-only rep aggregation; payload re-attached member-reduced in
+        // verify (same shape as Dedup.pipeline)
+        val verified = Dedup.verify(Dedup.candidates(Dedup.repBands(sigs), cfg), sigs, cfg)
+        val reps = mapping.select(col("rep").as("conv_id")).distinct()
+        val repClusters = ConnectedComponents.assign(reps, verified)
         mapping.join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))
           .select(col("conv_id"), col("cluster_id"))
 

@@ -45,9 +45,19 @@ object SparkEntry {
   private def sigsForDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.signatures(s, docsAsCorpus(s, dir), docCfg)
 
-  /** Verified LSH dup pairs over documents, with numeric ids restored. */
+  /** Embedding table dims (fixed by the testdata generator and asserted by
+    * q_dims_validation); passed to the knn builders so no plan-time
+    * `first()` probe job runs.
+    */
+  private val embDims = 64
+
+  /** Verified LSH dup pairs over documents, with numeric ids restored.
+    * Signatures are materialized once: candidates and the verify payload
+    * both consume them, and without the checkpoint the mapPartitions
+    * MinHash kernel runs twice per query plan.
+    */
   private def docDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = sigsForDocs(s, dir)
+    val sigs = sigsForDocs(s, dir).localCheckpoint(true)
     Dedup.verify(Dedup.candidates(sigs, docCfg), sigs, docCfg)
       .select(
         col("id_a").cast("long").as("id_a"),
@@ -244,7 +254,7 @@ object SparkEntry {
     }),
 
     "q_lcs_pass" -> ((s, dir) => {
-      val sigs = sigsForDocs(s, dir)
+      val sigs = sigsForDocs(s, dir).localCheckpoint(true)
       val verified = Dedup.verify(Dedup.candidates(sigs, docCfg), sigs, docCfg)
       VerifyPairs.lcsPass(verified, docsAsCorpus(s, dir))
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
@@ -255,7 +265,7 @@ object SparkEntry {
     //      exact scores, unfiltered — ≙ MatchHashesAndScoreQuery's
     //      "matched m of n hashes" surfaced as data) ----
     "q_pair_explain" -> ((s, dir) => {
-      val sigs = sigsForDocs(s, dir)
+      val sigs = sigsForDocs(s, dir).localCheckpoint(true)
       VerifyPairs.score(Dedup.candidates(sigs, docCfg), sigs)
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
           col("matching_bands").cast("long").as("matching_bands"),
@@ -277,7 +287,15 @@ object SparkEntry {
 
     "q_knn_lsh" -> ((s, dir) => {
       val emb = embeddingsDf(s, dir)
-      Knn.lshTopK(s, emb.filter(col("vec_id") < 20), emb, 5)
+      Knn.lshTopK(s, emb.filter(col("vec_id") < 20), emb, 5, dims = embDims)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    }),
+
+    // ---- Q4 knn-by-id (≙ Vec.Indexed fetch-then-rewrite): the query
+    //      vectors are *corpus rows resolved by id*, not client payloads ----
+    "q_knn_by_id" -> ((s, dir) => {
+      val emb = embeddingsDf(s, dir).select(col("vec_id"), col("embedding"))
+      Queries.run(s, emb, Queries.KnnById((0L until 20L).toSeq, 5))
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
     }),
 
@@ -349,7 +367,7 @@ object SparkEntry {
     "q_knn_l2_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = embeddingsDf(s, dir)
-      val dims = emb.select(size(col("embedding"))).first().getInt(0)
+      val dims = embDims
       def banded(df: org.apache.spark.sql.DataFrame, idCol: String) =
         df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
           .mapPartitions { iter =>
@@ -363,11 +381,14 @@ object SparkEntry {
       val l2sim = udf { (a: Array[Float], b: Array[Float]) => graft.kernels.ExactSim.l2Sim(a, b) }
       val qv = emb.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
       val cv = emb.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
+      // rank over the unrounded sim; round only in the final select (the
+      // oracle ranks by true sim and rounds for display)
       val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
       cands.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
-        .withColumn("sim", round(l2sim(col("q_emb"), col("n_emb")), 6))
+        .withColumn("sim", l2sim(col("q_emb"), col("n_emb")))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+          round(col("sim"), 6).as("sim"))
     }),
 
     // ---- L2 multiprobe (H4 probing variant, ≙ L2LshModel.java:88-140):
@@ -375,7 +396,7 @@ object SparkEntry {
     "q_knn_l2_multiprobe" -> ((s, dir) => {
       import s.implicits._
       val emb = embeddingsDf(s, dir)
-      val dims = emb.select(size(col("embedding"))).first().getInt(0)
+      val dims = embDims
       def banded(df: org.apache.spark.sql.DataFrame, idCol: String, probes: Int) =
         df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
           .mapPartitions { iter =>
@@ -390,11 +411,16 @@ object SparkEntry {
       val l2sim = udf { (a: Array[Float], b: Array[Float]) => graft.kernels.ExactSim.l2Sim(a, b) }
       val qv = emb.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
       val cv = emb.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
+      // rank over the UNROUNDED sim (round only for display): two
+      // candidates whose true sims differ but round equal must rank by
+      // true sim, as the oracle does — rounding before the window was a
+      // latent tiebreak-order mismatch
       val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
       cands.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
-        .withColumn("sim", round(l2sim(col("q_emb"), col("n_emb")), 6))
+        .withColumn("sim", l2sim(col("q_emb"), col("n_emb")))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+          round(col("sim"), 6).as("sim"))
     }),
 
     // ---- Permutation LSH (H5) with freq-aware hit counting (C2,
@@ -416,6 +442,30 @@ object SparkEntry {
         .agg(sum(least(col("q_freq"), col("n_freq"))).cast("long").as("score"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
+    }),
+
+    // ---- streaming near-dup surface, batch-replayed: the stream-static
+    //      band join of StreamingDedup.nearDupAgainstIndex is
+    //      master-agnostic (static DF in → static DF out), so the SAME
+    //      operator the streaming tests run is exercised here against the
+    //      posting-join oracle. Stream side = docs ≥ 250, index = docs < 250.
+    "q_stream_neardup" -> ((s, dir) => {
+      val sigs = sigsForDocs(s, dir).localCheckpoint(true)
+      val index = sigs.filter(col("conv_id").cast("long") < 250)
+      val stream = sigs.filter(col("conv_id").cast("long") >= 250)
+      graft.streaming.StreamingDedup.nearDupAgainstIndex(stream, index, docCfg)
+        .select(col("conv_id").cast("long").as("conv_id"),
+          col("matched_id").cast("long").as("matched_id"),
+          col("matching_bands").cast("long").as("matching_bands"))
+    }),
+
+    // ---- char-shingle config coverage (Shingler.Chars; the contract was
+    //      Words-only before): distinct char-5-gram count per document ----
+    "q_char_shingle_stats" -> ((s, dir) => {
+      val charCfg = docCfg.copy(shingleK = 5, shingleMode = graft.kernels.Shingler.Chars)
+      Dedup.signatures(s, docsAsCorpus(s, dir), charCfg)
+        .select(col("conv_id").cast("long").as("doc_id"),
+          col("n_shingles").cast("long").as("n_shingles"))
     })
   )
 
@@ -514,6 +564,10 @@ object SparkEntry {
 
       "q_knn_cosine" -> exactCosineTop5,
 
+      // Q4 knn-by-id: ids 0..19 resolved from the corpus ≡ the vec_id < 20
+      // query side of the exact scan — same oracle as q_knn_cosine
+      "q_knn_by_id" -> exactCosineTop5,
+
       // LSH ANN at (L=64, k=4): candidate set provably covers the exact
       // top-5 at this corpus/config (validated against the exact oracle);
       // the oracle is the exact scan — ≙ RecallSuite's exact-vs-LSH check
@@ -550,12 +604,14 @@ object SparkEntry {
           |             n_id, round(sim, 6) AS sim FROM s)
           |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
 
-      // IVF mirrored exactly: centroid cells (vec_id < 16), argmax-cosine
-      // assignment (ties → min cell), top-4 probe cells per query, exact
-      // cosine top-5 within probed cells.
+      // IVF mirrored exactly: centroid cells = the 16 vectors minimizing
+      // the engine's seeded sample hash (DuckSql regenerates mix64), argmax-
+      // cosine assignment (ties → min cell), top-4 probe cells per query,
+      // exact cosine top-5 within probed cells.
       "q_ivf_ann" ->
         s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
-           |cen AS (SELECT vec_id AS cell_id, embedding AS cemb FROM e WHERE vec_id < 16),
+           |cen AS (SELECT vec_id AS cell_id, embedding AS cemb FROM e
+           |        ORDER BY ${DuckSql.ivfSampleHashExpr("vec_id")}, vec_id LIMIT 16),
            |az AS (
            |  SELECT n.vec_id AS n_id, c.cell_id, unnest(list_zip(n.embedding, c.cemb)) AS pr
            |  FROM e n, cen c),
@@ -770,6 +826,22 @@ object SparkEntry {
           |r AS (SELECT q_id, n_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rk FROM sc)
           |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rk AS BIGINT) AS rank, CAST(n_id AS BIGINT) AS n_id, score
           |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_stream_neardup" ->
+        s"""WITH $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b))
+           |SELECT s.doc_id AS conv_id, i.doc_id AS matched_id, CAST(count(*) AS BIGINT) AS matching_bands
+           |FROM posts s JOIN posts i ON s.band = i.band AND s.doc_id >= 250 AND i.doc_id < 250
+           |GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}""".stripMargin,
+
+      "q_char_shingle_stats" ->
+        """WITH nt AS (
+          |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+          |SELECT doc_id,
+          |  CAST(CASE WHEN length(t) >= 5
+          |       THEN len(list_distinct(list_transform(generate_series(1, length(t) - 4), i -> t[i:i+4])))
+          |       ELSE 0 END AS BIGINT) AS n_shingles
+          |FROM nt""".stripMargin,
 
       "q_dims_validation" ->
         """WITH u AS (

@@ -33,7 +33,13 @@ object CandidatePairs {
     * partitions, while this shape streams the postings unsorted.
     */
   private def postings(sigs: DataFrame): DataFrame = {
+    // One explicit hash exchange on band; the counts aggregation AND the
+    // count join both see HashPartitioning(band) satisfied, so the posting
+    // rows shuffle ONCE (ReuseExchange shares the single write between the
+    // two consumers) instead of once for the agg and again for the join —
+    // at L=48 × 300k docs that's ~13M rows of shuffle saved per run.
     val rows = sigs.select(col("conv_id"), explode(col("bands")).as("band"))
+      .repartition(col("band"))
     val counts = rows.groupBy(col("band")).agg(count(lit(1)).as("n")).filter(col("n") >= 2)
     rows.join(counts.hint("shuffle_hash"), Seq("band")) // drops singleton buckets
   }

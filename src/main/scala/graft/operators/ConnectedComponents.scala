@@ -24,12 +24,89 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count gate for the driver union-find fast path. Verified dup-pair
+    * edges are tiny relative to the corpus in every real dedup run (pairs
+    * are rep-level and dup density is sparse), so below this bound the
+    * component computation collects the edges once and runs an exact
+    * union-find on the driver — ONE Spark job instead of ~3 jobs × O(log n)
+    * rounds of the distributed loop. 5M string edges ≈ low hundreds of MB
+    * on the driver. Above the gate the distributed pointer-jumping loop
+    * runs unchanged — the 10^12-scale path is untouched.
+    */
+  val DriverEdgeGate: Int = 5_000_000
+
+  /** Exact driver-side union-find with path compression; labels each vertex
+    * with the lexicographic-min id of its component — identical semantics to
+    * the distributed loop (min-label propagation converges to the same
+    * fixpoint), so the two paths are interchangeable and deterministic.
+    */
+  private def unionFindLabels(edges: Array[(String, String)]): Array[(String, String)] = {
+    val idx = new java.util.HashMap[String, Integer](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[String]()
+    def intern(s: String): Int = {
+      val cur = idx.get(s)
+      if (cur != null) cur.intValue()
+      else { idx.put(s, ids.length); ids += s; ids.length - 1 }
+    }
+    val pairs = edges.map { case (a, b) => (intern(a), intern(b)) }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    // min id per component root, then label every vertex
+    val minOf = new java.util.HashMap[Int, String]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ids(i).compareTo(cur) < 0) minOf.put(r, ids(i))
+      i += 1
+    }
+    Array.tabulate(ids.length)(j => (ids(j), minOf.get(find(j))))
+  }
+
   /** @param edges (id_a, id_b) undirected edges, any orientation
     * @param maxIter safety bound (log₂ of the largest component diameter;
     *                32 covers anything representable)
+    * @param driverGate max edges for the driver union-find fast path
+    *                   (0 disables — always distributed)
     * @return (conv_id, cluster_id) for every vertex that appears in an edge
     */
-  def components(edges: DataFrame, maxIter: Int = 32): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 32, driverGate: Int = DriverEdgeGate): DataFrame = {
+    // ---- fast path: bounded collect + exact union-find (string ids) ----
+    val idFieldsAreStrings = Seq("id_a", "id_b").forall(n =>
+      edges.schema.fields.exists(f =>
+        f.name == n && f.dataType == org.apache.spark.sql.types.StringType))
+    if (driverGate > 0 && idFieldsAreStrings) {
+      val spark = edges.sparkSession
+      // Materialize the (narrow) edge columns once: the size probe is then a
+      // free scan of in-memory blocks, the collect below reads the same
+      // blocks, and on gate overflow the distributed loop consumes the
+      // checkpoint instead of recomputing the whole upstream pipeline.
+      // (limit(gate+1).collect() would be one logical job but Spark's
+      // CollectLimit scale-up re-runs the result stage several times.)
+      val edgesM = edges.select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
+      val n = edgesM.count()
+      if (n <= driverGate) {
+        import spark.implicits._
+        val labeled = unionFindLabels(edgesM.collect().map(r => (r.getString(0), r.getString(1))))
+        // LocalRelation: Catalyst sees the exact (small) size, so downstream
+        // joins against the corpus broadcast this side automatically
+        return labeled.toSeq.toDF("conv_id", "cluster_id")
+      }
+      return componentsDistributed(edgesM, maxIter)
+    }
+    componentsDistributed(edges, maxIter)
+  }
+
+  /** Distributed min-label propagation + pointer jumping — the ≥gate path. */
+  private def componentsDistributed(edges: DataFrame, maxIter: Int): DataFrame = {
     // Materialize the edge list once: every iteration joins against it, and
     // without this the full upstream pipeline (signatures → candidates →
     // verify) would be recomputed per iteration.
@@ -82,8 +159,9 @@ object ConnectedComponents {
     *
     * @param allIds DataFrame with a `conv_id` column covering the corpus
     */
-  def assign(allIds: DataFrame, edges: DataFrame, maxIter: Int = 32): DataFrame = {
-    val comp = components(edges, maxIter)
+  def assign(allIds: DataFrame, edges: DataFrame, maxIter: Int = 32,
+             driverGate: Int = DriverEdgeGate): DataFrame = {
+    val comp = components(edges, maxIter, driverGate)
     allIds
       .select(col("conv_id"))
       .join(comp.withColumnRenamed("cluster_id", "component_id"), Seq("conv_id"), "left")

@@ -63,8 +63,14 @@ object Knn {
     * never carries the full candidate set.
     */
   final class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // Total order via Double.compare: NaN sims (zero-norm vectors → 0/0
+    // cosine) sort deterministically largest instead of making better()
+    // false both ways, which would leave the kept top-k dependent on
+    // partition/merge arrival order.
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
       val (front, back) = buf.span(better(_, x))
       val merged = front ::: (x :: back)
@@ -72,8 +78,17 @@ object Knn {
     }
     def zero: List[(Double, Long)] = Nil
     def reduce(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = insert(buf, x)
-    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-      b.foldLeft(a)(insert)
+    // both buffers are sorted best-first → linear merge, not k× list insert
+    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] = {
+      val out = List.newBuilder[(Double, Long)]
+      var (xs, ys, n) = (a, b, 0)
+      while (n < k && (xs.nonEmpty || ys.nonEmpty)) {
+        if (ys.isEmpty || (xs.nonEmpty && better(xs.head, ys.head))) { out += xs.head; xs = xs.tail }
+        else { out += ys.head; ys = ys.tail }
+        n += 1
+      }
+      out.result()
+    }
     def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
     def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
@@ -127,14 +142,18 @@ object Knn {
     * exactly as in the reference (`RecallSuite.scala:59-91`).
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
-              numTables: Int = 64, rowsPerBand: Int = 4, seed: Long = 0L): DataFrame = {
+              numTables: Int = 64, rowsPerBand: Int = 4, seed: Long = 0L,
+              dims: Int = -1): DataFrame = {
     import spark.implicits._
-    val dims = corpus.select(size(col("embedding"))).first().getInt(0)
+    // dims ≤ 0 → probe the corpus (a LIMIT-1 scan, but still a serialized
+    // plan-time Spark job); callers that know the schema dims (S2's
+    // validation does) should pass it explicitly.
+    val d = if (dims > 0) dims else corpus.select(size(col("embedding"))).first().getInt(0)
 
     def withBands(df: DataFrame, idCol: String): DataFrame = {
       val in = df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
       in.mapPartitions { iter =>
-        val model = new CosineLshModel(dims, numTables, rowsPerBand, seed) // hoisted once per partition
+        val model = new CosineLshModel(d, numTables, rowsPerBand, seed) // hoisted once per partition
         iter.flatMap { case (id, emb) => model.hash(emb).map(b => (id, b)) }
       }.toDF(idCol, "band")
     }
@@ -156,43 +175,88 @@ object Knn {
     topK(scored.select("q_id", "n_id", "sim"), k)
   }
 
-  /** IVF-style ANN. Centroids are the first `nCells` corpus vectors by id —
-    * a deterministic pick that is a uniform sample here (ids are not
-    * correlated with embedding geometry; a production build would k-means,
-    * which only moves the centroid table, not the plan shape). The centroid
-    * table is bounded (nCells rows) and collected once at plan time — the
-    * one deliberate driver-side collect in the engine, ≙ broadcasting
-    * k-means centers.
-    *
-    * Assignment is a single narrow pass: per row, an `array_max` over
-    * nCells codegen'd cosine expressions picks the best cell — no row
-    * blow-up, no corpus-wide window (the round-1 scale-killer). Probing
-    * explodes each query to its `nProbe` best cells; the candidate join is
-    * an equi-join on cell_id.
+  /** Seed constant for the IVF centroid sample order (any fixed odd-ish
+    * 64-bit constant works; this one is the engine's string-hash salt).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Int, Array[Float])] = corpus
-      .filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int"), col("embedding"))
+  val IvfSampleSeed: Long = 0x51_7c_c1_b7_27_22_0a_95L
+
+  /** Above this many cells the per-row assignment switches from inline
+    * codegen'd expressions (whose size is linear in nCells — wrong shape at
+    * 4096 cells) to a `mapPartitions` kernel with the centroid table in the
+    * task closure.
+    */
+  val IvfKernelThreshold: Int = 64
+
+  /** IVF-style ANN. Centroids are a seeded pseudo-random sample of the
+    * corpus: the `nCells` vectors minimizing `mix64(SEED·φ + vec_id)` — a
+    * uniform sample regardless of id distribution (the round-2 pick,
+    * `vec_id < nCells`, silently assumed contiguous ids from 0 and was only
+    * uniform by accident of the testdata). `orderBy(hash).limit(nCells)` is
+    * a TakeOrdered: one bounded pass, one bounded driver collect — the one
+    * deliberate driver-side collect in the engine, ≙ broadcasting k-means
+    * centers (a production k-means refinement moves only this table, not
+    * the plan shape). cell_id = the centroid's vec_id.
+    *
+    * Assignment is a single narrow pass with two shapes:
+    *   - nCells ≤ [[IvfKernelThreshold]]: an `array_min` over nCells
+    *     codegen'd cosine expressions (no row blow-up, no corpus window);
+    *   - nCells > threshold: a `mapPartitions` argmax kernel over the
+    *     closure-captured centroid table — O(nCells·dims) tight loop per
+    *     row instead of an O(nCells)-sized expression tree.
+    * Both break sim ties toward the smaller cell_id and treat NaN cosines
+    * (zero-norm vectors) as worst.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              kernelThreshold: Int = IvfKernelThreshold): DataFrame = {
+    val sampleHash = udf { (id: Long) => graft.kernels.Hashing.mix64(IvfSampleSeed, id) }
+    val centroids: Array[(Long, Array[Float])] = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .orderBy(sampleHash(col("vec_id")), col("vec_id"))
+      .limit(nCells)
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    require(centroids.nonEmpty, "IVF centroid sample is empty: corpus has no rows")
 
-    // struct array (−sim, cell_id): array_min = best sim, ties → min cell_id
-    def cellScores(embCol: String): Column = array(centroids.map { case (cid, emb) =>
-      val c = typedlit(emb)
-      struct((-cosineColC(col(embCol), c)).as("negsim"), lit(cid).as("cell_id"))
-    }: _*)
+    val spark = corpus.sparkSession
+    import spark.implicits._
 
-    val assigned = corpus
-      .select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
-      .withColumn("best", array_min(cellScores("n_emb")))
-      .select(col("best.cell_id").as("cell_id"), col("n_id"), col("n_emb"))
+    def topCells(df: DataFrame, idCol: String, embAlias: String, n: Int): DataFrame =
+      if (nCells <= kernelThreshold) {
+        // struct array (−sim, cell_id): array_sort ranks best-first, NaN
+        // negsim sorts last, ties → min cell_id
+        val scores = array(centroids.map { case (cid, emb) =>
+          struct((-cosineColC(col(embAlias), typedlit(emb))).as("negsim"), lit(cid).as("cell_id"))
+        }: _*)
+        df.withColumn("probe", explode(slice(array_sort(scores), 1, n)))
+          .select(col("probe.cell_id").as("cell_id"), col(idCol), col(embAlias))
+      } else {
+        val cens = centroids // capture the table, not the DataFrame
+        df.select(col(idCol).cast("long"), col(embAlias)).as[(Long, Array[Float])]
+          .mapPartitions { iter =>
+            iter.map { case (id, emb) =>
+              // exact argmax loop, ties → min cell_id (cens sorted by id),
+              // NaN sims never update (comparison is false)
+              val sims = cens.map { case (_, c) => graft.kernels.ExactSim.cosine(emb, c) }
+              // TotalOrdering: NaN (zero-norm) sorts largest, so −NaN lands
+              // last = worst — the same placement the inline struct sort gives
+              val order = cens.indices.sortBy(i => (-sims(i), cens(i)._1))(
+                Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+              val kept = order.take(n).map(i => cens(i)._1)
+              (id, emb, kept)
+            }
+          }
+          .toDF(idCol, embAlias, "cells")
+          .select(explode(col("cells")).as("cell_id"), col(idCol), col(embAlias))
+      }
 
-    val probes = queries
-      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("probe", explode(slice(array_sort(cellScores("q_emb")), 1, nProbe)))
-      .select(col("probe.cell_id").as("cell_id"), col("q_id"), col("q_emb"))
+    val assigned = topCells(
+      corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb")),
+      "n_id", "n_emb", n = 1)
+
+    val probes = topCells(
+      queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", n = nProbe)
 
     val scored = broadcast(probes).join(assigned, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))

@@ -44,9 +44,11 @@ object VerifyPairs {
     * (dup pairs are sparse relative to the corpus in every real pipeline).
     */
   private def memberPayload(pairs: DataFrame, sigs: DataFrame, broadcastIds: Boolean): DataFrame = {
+    // NO .distinct() on the id set: a left-semi build side dedups inside its
+    // hash table anyway, and the distinct was a full extra shuffle + AQE
+    // stage barrier (~2 s flat per run at every width — pure serial cost).
     val ids = pairs.select(col("id_a").as("conv_id"))
       .unionByName(pairs.select(col("id_b").as("conv_id")))
-      .distinct()
     // The broadcast hint must be explicit: checkpointed inputs give the
     // planner no usable size estimate, and AQE's runtime conversion comes
     // too late — both semi-join sides launch in parallel, so the payload

@@ -63,7 +63,14 @@ object CheckpointedPipeline {
     * checkpoints when the same workDir is re-run against different data).
     */
   def inputFingerprint(transcripts: DataFrame): String = {
-    val h = xxhash64(col("conv_id"), col("turn_idx"), coalesce(col("text"), lit("")))
+    // Identity columns = everything a checkpointed stage can derive values
+    // from: Assembly emits first_ts/last_ts from ts, and a roles-aware
+    // assembly reads role — a text-only key would silently reuse stale
+    // checkpoints when only ts/role changed.
+    val cols = Seq(col("conv_id"), col("turn_idx"), coalesce(col("text"), lit(""))) ++
+      (if (transcripts.columns.contains("ts")) Seq(coalesce(col("ts").cast("long"), lit(0L))) else Nil) ++
+      (if (transcripts.columns.contains("role")) Seq(coalesce(col("role"), lit(""))) else Nil)
+    val h = xxhash64(cols: _*)
     val row = transcripts
       .agg(
         count(lit(1)).as("n"),
@@ -113,9 +120,9 @@ object CheckpointedPipeline {
     }
 
     val pairs = stage("pairs", upstream = s"signatures/$cfgHash", partitionCols = Nil) {
-      val mapping = Dedup.exactGroups(sigs)
-      val repSigs = sigs.join(mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi")
-      Dedup.verify(Dedup.candidates(repSigs, cfg), repSigs, cfg)
+      // bands-only rep aggregation (same shape as Dedup.pipeline): the
+      // shingle payload joins in member-reduced inside verify
+      Dedup.verify(Dedup.candidates(Dedup.repBands(sigs), cfg), sigs, cfg)
     }
 
     val clusters = stage("clusters", upstream = s"pairs/$cfgHash", partitionCols = Nil) {

@@ -31,17 +31,18 @@ object ScaleProbe {
     val input = s.read.parquet(dir)
     val sigs = Dedup.signatures(s, Dedup.documents(input), cfg).localCheckpoint(true)
     val mapping = Dedup.exactGroups(sigs).localCheckpoint(true)
-    val repSigs = sigs.join(mapping.select(col("rep").as("conv_id")).distinct(), Seq("conv_id"), "left_semi").localCheckpoint(true)
-    val tCand = time { graft.RefHolder.df = Dedup.candidates(repSigs, cfg).localCheckpoint(true) }
-    val cands = graft.RefHolder.df
+    val repBands = Dedup.repBands(sigs).localCheckpoint(true)
+    var hold: org.apache.spark.sql.DataFrame = null
+    val tCand = time { hold = Dedup.candidates(repBands, cfg).localCheckpoint(true) }
+    val cands = hold
     val nC = cands.count()
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      Dedup.verify(cands, repSigs, cfg).explain("formatted")
-    val tVer = time { graft.RefHolder.df = Dedup.verify(cands, repSigs, cfg).localCheckpoint(true) }
-    val nV = graft.RefHolder.df.count()
+      Dedup.verify(cands, sigs, cfg).explain("formatted")
+    val tVer = time { hold = Dedup.verify(cands, sigs, cfg).localCheckpoint(true) }
+    val nV = hold.count()
     println(f"SCALEPROBE cores=$cores factor=$factor aqe=$aqe cand=$tCand%.2f verify=$tVer%.2f nCand=$nC nVer=$nV")
-    val tFused = time { graft.RefHolder.df = Dedup.verify(Dedup.candidates(repSigs, cfg), repSigs, cfg).localCheckpoint(true) }
-    println(f"SCALEPROBE-FUSED cores=$cores candver=$tFused%.2f rows=${graft.RefHolder.df.count()}")
+    val tFused = time { hold = Dedup.verify(Dedup.candidates(repBands, cfg), sigs, cfg).localCheckpoint(true) }
+    println(f"SCALEPROBE-FUSED cores=$cores candver=$tFused%.2f rows=${hold.count()}")
     s.stop()
   }
 }

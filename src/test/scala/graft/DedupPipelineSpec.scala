@@ -141,4 +141,22 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     (0 until 5).foreach(i => assign(s"b$i") shouldBe "b0")
     assign("zzz") shouldBe "zzz"
   }
+
+  test("driver union-find fast path ≡ distributed pointer-jumping loop (incl. gate overflow fallback)") {
+    val s = spark
+    import s.implicits._
+    val chain = (0 until 19).map(i => (f"a${i + 1}%02d", f"a$i%02d")) // reversed orientation
+    val clique = for (i <- 0 until 5; j <- i + 1 until 5) yield (s"b$j", s"b$i")
+    val edges = (chain ++ clique ++ Seq(("y", "x"), ("x", "w"))).toList.toDF("id_a", "id_b")
+    def comp(gate: Int): Set[(String, String)] =
+      ConnectedComponents.components(edges, driverGate = gate)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fast = comp(ConnectedComponents.DriverEdgeGate)
+    val dist = comp(0)                 // gate disabled → distributed loop
+    val overflow = comp(5)             // 31 edges > gate 5 → falls back to distributed
+    fast shouldBe dist
+    overflow shouldBe dist
+    fast.filter(_._1.startsWith("a")).map(_._2) shouldBe Set("a00")
+    fast.toMap.apply("y") shouldBe "w"
+  }
 }

@@ -89,6 +89,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     withClue(s"recall=$recall: ") { recall should be >= 0.7 }
   }
 
+  test("IVF kernel argmax branch (nCells > threshold) equals the inline-expression branch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 15)
+    def rows(df: DataFrame): Set[(Long, Int, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = Knn.ivfTopK(queries, emb, 5, nCells = 24, nProbe = 6, kernelThreshold = 64)
+    val kernel = Knn.ivfTopK(queries, emb, 5, nCells = 24, nProbe = 6, kernelThreshold = 0)
+    rows(kernel) shouldBe rows(inline)
+  }
+
+  test("IVF centroid sample is id-distribution independent (offset corpus works)") {
+    // round-2 regression: filter(vec_id < nCells) collected ZERO centroids
+    // on a corpus whose ids don't start at 0; the seeded-hash sample must
+    // not care about the id range
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val queries = emb.filter(col("vec_id") < 1000015L)
+    val out = Knn.ivfTopK(queries, emb, 5, nCells = 16, nProbe = 8).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) => rs.length shouldBe 5 }
+    out.length shouldBe 15 * 5
+  }
+
   test("bounded TopKAgg equals the full row_number window (C3/C6 equivalence)") {
     val s = spark
     import s.implicits._

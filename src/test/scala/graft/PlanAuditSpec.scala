@@ -77,6 +77,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     p should include("codegen id")
   }
 
+  test("candidate generation never reads the shingle payload (bands-only rep path)") {
+    import org.apache.spark.sql.functions.col
+    val cfg = DedupConfig()
+    val sigs = Dedup.signatures(spark,
+      Dedup.documents(graft.sources.TranscriptGen.df(spark, 100L).toDF()), cfg).localCheckpoint(true)
+    val p = Dedup.candidates(Dedup.repBands(sigs), cfg).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the round-2 shape semi-joined the FULL signature rows (shingles are
+    // KB/row) just to pick representatives; now the checkpoint scan may
+    // still LIST the payload column, but no shuffle may CARRY it — every
+    // Exchange's detail block must be shingle-free
+    val blocks = p.split("\\n\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(b => b.startsWith("Exchange") || b.startsWith("AQEShuffleRead"))
+    exchanges should not be empty
+    exchanges.foreach(b => b should not include "shingles")
+  }
+
   test("the flagship pipeline contains no CartesianProduct or BroadcastNestedLoopJoin") {
     val df = Dedup.pipeline(spark, graft.sources.TranscriptGen.df(spark, 100L), DedupConfig())
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
