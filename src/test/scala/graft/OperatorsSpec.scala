@@ -86,7 +86,10 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) => rs.length shouldBe 5 }
     val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact intersect got).size.toDouble / exact.size
-    withClue(s"recall=$recall: ") { recall should be >= 0.7 }
+    info(f"IVF recall@5 (nCells=16, nProbe=8, hash-sampled centroids) = $recall%.3f")
+    // pinned at the measured value (0.733, deterministic corpus + seeded
+    // sample) minus nothing — a centroid-quality regression fails this
+    withClue(s"recall=$recall: ") { recall should be >= 0.73 }
   }
 
   test("IVF kernel argmax branch (nCells > threshold) equals the inline-expression branch") {
