@@ -23,16 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local mode = driver-only JVM: the heap is the whole cluster's memory.
+// SPARK_DRIVER_MEM may be set very large by the invoking harness — CAP it:
+// round 3 combined that (~90g) with -Xms + AlwaysPreTouch, which made the
+// entire heap resident at JVM start and got the bench run OOM-killed (exit
+// 137) before it recorded anything. 24g is ample for every surface here
+// (the sf0.1 query sweep ran inside 16g in rounds 1-2), heap pages are
+// committed lazily, and the bench's measured pipeline runs happen in child
+// JVMs that manage their own (per-core-scaled, lazily grown) heaps.
+val forkHeapGb: Int = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").trim.toLowerCase
+  val gb = scala.util.Try {
+    if (req.endsWith("m")) req.dropRight(1).toDouble / 1024.0
+    else if (req.endsWith("k")) req.dropRight(1).toDouble / (1024.0 * 1024.0)
+    else req.stripSuffix("g").toDouble
+  }.getOrElse(16.0)
+  math.max(4, math.min(24, gb.round.toInt))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only JVM: the heap is the whole cluster's memory.
-  // 32 concurrent tasks with shuffle/sort buffers thrash an 8g heap. The
-  // heap is fixed-size and pre-touched: inside this microVM, lazily zeroing
-  // fresh heap pages mid-run costs whole cores of kernel time and shows up
-  // as multi-second stalls in benchmarks; AlwaysPreTouch moves that cost to
-  // JVM startup.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:+AlwaysPreTouch",
+  s"-Xmx${forkHeapGb}g",
+  "-Xms2g",
 )

@@ -78,12 +78,19 @@ object Queries {
       case (SimHashDedup(cfg, minSim), _, _) =>
         val sigs = Dedup.signatures(spark, corpus, cfg).localCheckpoint(eager = true)
         val bandUdf = udf { (fp: Long) => graft.kernels.SimHashModel.bands(fp, cfg.simHashBands) }
-        val banded = sigs.select(col("conv_id"), col("simhash"), explode(bandUdf(col("simhash"))).as("band"))
-        val hammingSim = udf { (a: Long, b: Long) => graft.kernels.ExactSim.hammingSim64(a, b) }
-        banded.select(col("band"), col("conv_id").as("id_a"), col("simhash").as("fp_a"))
-          .join(banded.select(col("band"), col("conv_id").as("id_b"), col("simhash").as("fp_b")), Seq("band"))
+        // bands only on the self-join shuffle; fingerprints join back AFTER
+        // the pair aggregation (same shape as the MinHash verify path —
+        // the exchange carries ids, not payload, however narrow)
+        val banded = sigs.select(col("conv_id"), explode(bandUdf(col("simhash"))).as("band"))
+        val pairs = banded.select(col("band"), col("conv_id").as("id_a"))
+          .join(banded.select(col("band"), col("conv_id").as("id_b")), Seq("band"))
           .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(first(col("fp_a")).as("fp_a"), first(col("fp_b")).as("fp_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("matching_bands"))
+        val fps = sigs.select(col("conv_id"), col("simhash"))
+        val hammingSim = udf { (a: Long, b: Long) => graft.kernels.ExactSim.hammingSim64(a, b) }
+        pairs
+          .join(fps.select(col("conv_id").as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
+          .join(fps.select(col("conv_id").as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
           .withColumn("simhash_sim", hammingSim(col("fp_a"), col("fp_b")))
           .filter(col("simhash_sim") >= minSim)
           .select("id_a", "id_b", "simhash_sim")

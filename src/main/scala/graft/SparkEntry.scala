@@ -222,16 +222,25 @@ object SparkEntry {
       sigsForDocs(s, dir).select(col("conv_id").cast("long").as("doc_id"), col("simhash"))),
 
     "q_simhash_dup_pairs" -> ((s, dir) => {
-      // SimHash path: band fingerprints → bucket join → exact Hamming verify (E3 analog)
-      val sigs = sigsForDocs(s, dir).select(col("conv_id").cast("long").as("doc_id"), col("simhash"))
+      // SimHash path: band fingerprints → bucket join → exact Hamming verify
+      // (E3 analog). Bands only on the self-join shuffle; fingerprints join
+      // back after the pair aggregation (same shape as the MinHash verify
+      // path). Signatures checkpointed once: banded (×2) and the fp
+      // join-back (×2) all consume them.
+      val sigs = sigsForDocs(s, dir)
+        .select(col("conv_id").cast("long").as("doc_id"), col("simhash"))
+        .localCheckpoint(true)
       val bandUdf = udf { (fp: Long) => graft.kernels.SimHashModel.bands(fp, docCfg.simHashBands) }
-      val banded = sigs.select(col("doc_id"), col("simhash"), explode(bandUdf(col("simhash"))).as("band"))
-      val pairs = banded.select(col("band"), col("doc_id").as("id_a"), col("simhash").as("fp_a"))
-        .join(banded.select(col("band"), col("doc_id").as("id_b"), col("simhash").as("fp_b")), Seq("band"))
+      val banded = sigs.select(col("doc_id"), explode(bandUdf(col("simhash"))).as("band"))
+      val pairs = banded.select(col("band"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(first(col("fp_a")).as("fp_a"), first(col("fp_b")).as("fp_b"))
+        .select("id_a", "id_b").distinct()
       val hammingSim = udf { (a: Long, b: Long) => graft.kernels.ExactSim.hammingSim64(a, b) }
-      pairs.withColumn("simhash_sim", hammingSim(col("fp_a"), col("fp_b")))
+      pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
+        .withColumn("simhash_sim", hammingSim(col("fp_a"), col("fp_b")))
         .filter(col("simhash_sim") >= 0.9)
         .select("id_a", "id_b", "simhash_sim")
     }),
@@ -314,7 +323,7 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("channels").cast("long").as("channels"),
           col("hist_0"), col("hist_1"), col("hist_2"), col("hist_3"),
           col("hist_4"), col("hist_5"), col("hist_6"), col("hist_7"),
-          col("mean_byte"))),
+          col("mean_byte"), col("decoded").cast("long").as("decoded"))),
 
     "q_bucket_metrics" -> ((s, dir) =>
       CandidatePairs.bucketMetrics(sigsForDocs(s, dir))
@@ -466,7 +475,30 @@ object SparkEntry {
       Dedup.signatures(s, docsAsCorpus(s, dir), charCfg)
         .select(col("conv_id").cast("long").as("doc_id"),
           col("n_shingles").cast("long").as("n_shingles"))
-    })
+    }),
+
+    // ---- S6 sink/resume surface under the oracle: the durable
+    //      checkpoint-with-lineage pipeline runs TWICE in a scratch workDir;
+    //      the second run must reuse every stage (lineage keyed by config
+    //      hash + input fingerprint), and the resumed clusters are compared
+    //      against the same recursive-CTE oracle as q_transcript_clusters ----
+    "q_checkpointed_clusters" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
+      val ts = eventTranscripts(s, dir)
+      val (_, firstStages) = plans.CheckpointedPipeline.run(s, ts, DedupConfig(), work, nBuckets = 16)
+      require(firstStages.forall(!_.reused), s"fresh workDir must compute all stages: $firstStages")
+      val (resumed, secondStages) = plans.CheckpointedPipeline.run(s, ts, DedupConfig(), work, nBuckets = 16)
+      require(secondStages.forall(_.reused), s"resume must reuse every checkpointed stage: $secondStages")
+      resumed.select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))
+    }),
+
+    // ---- Q1/Q2 query AST + compat dispatch end-to-end: the SAME cluster
+    //      semantics as q_doc_clusters, but routed through Queries.run
+    //      (plan-time dispatch → MinHash pipeline with exact-dup collapse) ----
+    "q_query_dispatch" -> ((s, dir) =>
+      Queries.run(s, docsAsCorpus(s, dir), Queries.MinHashDedup(docCfg))
+        .select(col("conv_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id")))
   )
 
   /** DuckDB oracle SQL — same parquet tables, same column names/types. */
@@ -510,6 +542,61 @@ object SparkEntry {
     val cosinePair =
       "SUM(pr[1]::DOUBLE * pr[2]::DOUBLE) / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE) * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE))"
 
+    // recursive-CTE components over exact-Jaccard dup pairs on the
+    // documents table — shared by the direct CC query and the Queries.run
+    // dispatch query (both must produce identical clusters)
+    val docClustersSql =
+      s"""${dupPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id_a, id_b FROM p WHERE (isec = 0 AND un = 0) OR (un > 0 AND isec * 1.0 / un >= 0.8)),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         |reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+         |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
+         |USING (doc_id)""".stripMargin
+
+    // events-derived transcripts corpus → exact-Jaccard pairs →
+    // recursive-CTE components — shared by the in-memory flagship query and
+    // the checkpointed/resumed variant (resume must not change results)
+    val transcriptClustersSql =
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_ev
+        |  FROM events),
+        |docs AS (
+        |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS conv_id,
+        |         string_agg(event_type, ' ' ORDER BY rn) AS txt
+        |  FROM ev GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS conv_id,
+        |         string_agg(event_type, ' ' ORDER BY rn) AS txt
+        |  FROM ev WHERE rn < n_ev GROUP BY user_id),
+        |sh AS (
+        |  SELECT conv_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(lower(txt),' ')) - 2, 0)),
+        |    i -> string_split(lower(txt),' ')[i] || ' ' || string_split(lower(txt),' ')[i+1] || ' ' || string_split(lower(txt),' ')[i+2]
+        |  )) AS s FROM docs),
+        |p AS (
+        |  SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) AS isec,
+        |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+        |  FROM sh a, sh b WHERE a.conv_id < b.conv_id),
+        |e AS (SELECT id_a, id_b FROM p WHERE (isec = 0 AND un = 0) OR (un > 0 AND isec * 1.0 / un >= 0.8)),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+        |reach AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+        |SELECT d.conv_id, coalesce(c.cluster_id, d.conv_id) AS cluster_id,
+        |       CAST(CASE WHEN coalesce(c.cluster_id, d.conv_id) = d.conv_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM docs d LEFT JOIN (
+        |  SELECT a AS conv_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
+        |USING (conv_id)""".stripMargin
+
     Map(
       "q_assembly" ->
         """SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS doc,
@@ -549,18 +636,11 @@ object SparkEntry {
            |  CASE WHEN un = 0 THEN 1.0 ELSE isec * 1.0 / un END AS jaccard
            |FROM p WHERE (isec = 0 AND un = 0) OR (un > 0 AND isec * 1.0 / un >= 0.8)""".stripMargin,
 
-      "q_doc_clusters" ->
-        s"""${dupPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-           |e AS (SELECT id_a, id_b FROM p WHERE (isec = 0 AND un = 0) OR (un > 0 AND isec * 1.0 / un >= 0.8)),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-           |reach AS (
-           |  SELECT a, b FROM sym
-           |  UNION
-           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
-           |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-           |FROM documents d LEFT JOIN (
-           |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
-           |USING (doc_id)""".stripMargin,
+      "q_doc_clusters" -> docClustersSql,
+
+      // Q1/Q2 dispatch routes the MinHash pipeline (with exact-dup
+      // collapse) over the same corpus — must equal the direct clusters
+      "q_query_dispatch" -> docClustersSql,
 
       "q_knn_cosine" -> exactCosineTop5,
 
@@ -870,44 +950,15 @@ object SparkEntry {
           |  CAST(len(list_filter(cps, c -> c // 32 = 5)) AS BIGINT) AS hist_5,
           |  CAST(len(list_filter(cps, c -> c // 32 = 6)) AS BIGINT) AS hist_6,
           |  CAST(len(list_filter(cps, c -> c // 32 = 7)) AS BIGINT) AS hist_7,
-          |  CASE WHEN n = 0 THEN 0.0 ELSE list_sum(cps) * 1.0 / n END AS mean_byte
+          |  CASE WHEN n = 0 THEN 0.0 ELSE list_sum(cps) * 1.0 / n END AS mean_byte,
+          |  CAST(0 AS BIGINT) AS decoded
           |FROM w""".stripMargin,
 
-      "q_transcript_clusters" ->
-        """WITH RECURSIVE ev AS (
-          |  SELECT user_id, event_type,
-          |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-          |         count(*) OVER (PARTITION BY user_id) AS n_ev
-          |  FROM events),
-          |docs AS (
-          |  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS conv_id,
-          |         string_agg(event_type, ' ' ORDER BY rn) AS txt
-          |  FROM ev GROUP BY user_id
-          |  UNION ALL
-          |  SELECT 'd' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS conv_id,
-          |         string_agg(event_type, ' ' ORDER BY rn) AS txt
-          |  FROM ev WHERE rn < n_ev GROUP BY user_id),
-          |sh AS (
-          |  SELECT conv_id, list_distinct(list_transform(
-          |    generate_series(1, greatest(len(string_split(lower(txt),' ')) - 2, 0)),
-          |    i -> string_split(lower(txt),' ')[i] || ' ' || string_split(lower(txt),' ')[i+1] || ' ' || string_split(lower(txt),' ')[i+2]
-          |  )) AS s FROM docs),
-          |p AS (
-          |  SELECT a.conv_id AS id_a, b.conv_id AS id_b,
-          |         len(list_intersect(a.s, b.s)) AS isec,
-          |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
-          |  FROM sh a, sh b WHERE a.conv_id < b.conv_id),
-          |e AS (SELECT id_a, id_b FROM p WHERE (isec = 0 AND un = 0) OR (un > 0 AND isec * 1.0 / un >= 0.8)),
-          |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-          |reach AS (
-          |  SELECT a, b FROM sym
-          |  UNION
-          |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
-          |SELECT d.conv_id, coalesce(c.cluster_id, d.conv_id) AS cluster_id,
-          |       CAST(CASE WHEN coalesce(c.cluster_id, d.conv_id) = d.conv_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-          |FROM docs d LEFT JOIN (
-          |  SELECT a AS conv_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
-          |USING (conv_id)""".stripMargin
+      "q_transcript_clusters" -> transcriptClustersSql,
+
+      // S6 resume surface: a resumed run must emit exactly the clusters a
+      // fresh run would — same oracle as the in-memory flagship query
+      "q_checkpointed_clusters" -> transcriptClustersSql
     )
   }
 }

@@ -29,11 +29,33 @@ object ConnectedComponents {
     * are rep-level and dup density is sparse), so below this bound the
     * component computation collects the edges once and runs an exact
     * union-find on the driver — ONE Spark job instead of ~3 jobs × O(log n)
-    * rounds of the distributed loop. 5M string edges ≈ low hundreds of MB
-    * on the driver. Above the gate the distributed pointer-jumping loop
-    * runs unchanged — the 10^12-scale path is untouched.
+    * rounds of the distributed loop. Above the gate the distributed
+    * pointer-jumping loop runs unchanged — the 10^12-scale path is
+    * untouched. The row gate alone is NOT sufficient (5M edges of long
+    * string ids is gigabytes of driver objects), so it is paired with the
+    * byte budget below; both are spark-conf overridable so deployments with
+    * small drivers can lower or disable the fast path without code changes.
     */
   val DriverEdgeGate: Int = 5_000_000
+
+  /** Runtime-conf override for the row gate (int; 0 disables the fast path). */
+  val EdgeGateConfKey = "graft.cc.driverEdgeGate"
+
+  /** Runtime-conf override for the driver byte budget (long, bytes). The
+    * default budget is maxMemory/5: the collect plus the union-find's
+    * interning maps must fit comfortably next to whatever else the driver
+    * holds, and must also clear spark.driver.maxResultSize.
+    */
+  val ByteBudgetConfKey = "graft.cc.driverByteBudget"
+
+  /** Estimated driver-side footprint of collecting + union-finding `n`
+    * string-id edges of `avgPairWidth` total chars: per edge ~2 String
+    * objects (header + backing array) and a Row, per vertex ~1 HashMap
+    * entry + 2 array slots — ~200 B/edge of fixed overhead plus 2 B/char
+    * is a deliberately conservative upper estimate.
+    */
+  def estimateDriverBytes(n: Long, avgPairWidth: Double): Long =
+    (n.toDouble * (200.0 + 2.0 * avgPairWidth)).toLong
 
   /** Exact driver-side union-find with path compression; labels each vertex
     * with the lexicographic-min id of its component — identical semantics to
@@ -83,8 +105,9 @@ object ConnectedComponents {
     val idFieldsAreStrings = Seq("id_a", "id_b").forall(n =>
       edges.schema.fields.exists(f =>
         f.name == n && f.dataType == org.apache.spark.sql.types.StringType))
-    if (driverGate > 0 && idFieldsAreStrings) {
-      val spark = edges.sparkSession
+    val spark = edges.sparkSession
+    val gate = spark.conf.get(EdgeGateConfKey, driverGate.toString).toInt
+    if (gate > 0 && idFieldsAreStrings) {
       // Materialize the (narrow) edge columns once: the size probe is then a
       // free scan of in-memory blocks, the collect below reads the same
       // blocks, and on gate overflow the distributed loop consumes the
@@ -92,8 +115,16 @@ object ConnectedComponents {
       // (limit(gate+1).collect() would be one logical job but Spark's
       // CollectLimit scale-up re-runs the result stage several times.)
       val edgesM = edges.select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
-      val n = edgesM.count()
-      if (n <= driverGate) {
+      // one narrow pass: row count AND average id width, so the gate is
+      // byte-aware — 5M edges of 8-char ids fit a 4g driver, 5M edges of
+      // 1KB ids do not, and a row count alone cannot tell them apart
+      val stats = edgesM
+        .agg(count(lit(1)), avg(length(col("id_a")) + length(col("id_b"))))
+        .first()
+      val n = stats.getLong(0)
+      val avgWidth = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+      val budget = spark.conf.get(ByteBudgetConfKey, (Runtime.getRuntime.maxMemory() / 5).toString).toLong
+      if (n <= gate && estimateDriverBytes(n, avgWidth) <= budget) {
         import spark.implicits._
         val labeled = unionFindLabels(edgesM.collect().map(r => (r.getString(0), r.getString(1))))
         // LocalRelation: Catalyst sees the exact (small) size, so downstream

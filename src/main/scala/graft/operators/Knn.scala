@@ -234,15 +234,42 @@ object Knn {
         val cens = centroids // capture the table, not the DataFrame
         df.select(col(idCol).cast("long"), col(embAlias)).as[(Long, Array[Float])]
           .mapPartitions { iter =>
+            val m = cens.length
+            val nk = math.min(n, m)
+            // scratch reused across rows: the per-row sims and the bounded
+            // best-first selection buffer — no per-row allocation but the
+            // emitted cell array itself
+            val sims = new Array[Double](m)
+            val sel = new Array[Int](nk)
+            // total order (−sim, cell_id): Double.compare treats NaN sims
+            // (zero-norm vectors) as largest, so −NaN ranks last = worst —
+            // the same placement the inline struct sort gives; ties break
+            // toward the smaller cell_id (cens is sorted by id)
+            def better(a: Int, b: Int): Boolean = {
+              val c = java.lang.Double.compare(-sims(a), -sims(b))
+              c < 0 || (c == 0 && cens(a)._1 < cens(b)._1)
+            }
             iter.map { case (id, emb) =>
-              // exact argmax loop, ties → min cell_id (cens sorted by id),
-              // NaN sims never update (comparison is false)
-              val sims = cens.map { case (_, c) => graft.kernels.ExactSim.cosine(emb, c) }
-              // TotalOrdering: NaN (zero-norm) sorts largest, so −NaN lands
-              // last = worst — the same placement the inline struct sort gives
-              val order = cens.indices.sortBy(i => (-sims(i), cens(i)._1))(
-                Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
-              val kept = order.take(n).map(i => cens(i)._1)
+              var i = 0
+              while (i < m) { sims(i) = graft.kernels.ExactSim.cosine(emb, cens(i)._2); i += 1 }
+              // bounded insertion selection: O(m·nk) worst case with
+              // nk ≤ nProbe, vs a full O(m log m) sort + two array
+              // allocations per row — the shape the >threshold branch
+              // exists for (thousands of cells, single-digit probes)
+              var filled = 0
+              i = 0
+              while (i < m) {
+                if (filled < nk || better(i, sel(filled - 1))) {
+                  var pos = math.min(filled, nk - 1)
+                  while (pos > 0 && better(i, sel(pos - 1))) { sel(pos) = sel(pos - 1); pos -= 1 }
+                  sel(pos) = i
+                  if (filled < nk) filled += 1
+                }
+                i += 1
+              }
+              val kept = new Array[Long](filled)
+              i = 0
+              while (i < filled) { kept(i) = cens(sel(i))._1; i += 1 }
               (id, emb, kept)
             }
           }

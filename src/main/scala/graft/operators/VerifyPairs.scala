@@ -44,20 +44,22 @@ object VerifyPairs {
     * (dup pairs are sparse relative to the corpus in every real pipeline).
     */
   private def memberPayload(pairs: DataFrame, sigs: DataFrame, broadcastIds: Boolean): DataFrame = {
-    // NO .distinct() on the id set: a left-semi build side dedups inside its
-    // hash table anyway, and the distinct was a full extra shuffle + AQE
-    // stage barrier (~2 s flat per run at every width — pure serial cost).
     val ids = pairs.select(col("id_a").as("conv_id"))
       .unionByName(pairs.select(col("id_b").as("conv_id")))
     // The broadcast hint must be explicit: checkpointed inputs give the
     // planner no usable size estimate, and AQE's runtime conversion comes
     // too late — both semi-join sides launch in parallel, so the payload
     // exchange runs to completion before AQE sees the id set is tiny.
-    // At extreme dup densities (id set ~ corpus) disable via
-    // cfg.broadcastVerifyIds and the filter becomes a shuffled semi-join —
-    // ids shuffle at ~16 B/row vs ~KB/row payload, still far cheaper than
-    // unfiltered payload joins.
-    val idsSide = if (broadcastIds) broadcast(ids) else ids
+    // The broadcast side MUST be distinct: Spark's broadcast HashedRelation
+    // retains duplicate rows (the semi-join probe only checks keys, but the
+    // collected and per-executor-shipped relation still holds 2×|pairs|
+    // rows), so at high candidate multiplicity an un-deduped id list
+    // inflates the driver collect and every executor's broadcast copy. The
+    // distinct is a small shuffle of ~16 B id rows — bounded by |distinct
+    // members|, not |pairs|. The non-broadcast path (disable via
+    // cfg.broadcastVerifyIds at extreme dup densities) needs no distinct:
+    // the shuffled semi-join dedups inside its build hash table.
+    val idsSide = if (broadcastIds) broadcast(ids.distinct()) else ids
     sigs.select(col("conv_id"), col("shingles"), col("simhash"))
       .join(idsSide, Seq("conv_id"), "left_semi")
   }

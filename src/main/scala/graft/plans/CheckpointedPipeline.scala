@@ -67,8 +67,11 @@ object CheckpointedPipeline {
     // from: Assembly emits first_ts/last_ts from ts, and a roles-aware
     // assembly reads role — a text-only key would silently reuse stale
     // checkpoints when only ts/role changed.
+    // ts hashes via its string form: TIMESTAMP and TIMESTAMP_NTZ inputs
+    // both cast to string (a direct cast-to-long is illegal for NTZ), and
+    // the rendering is deterministic under the pinned UTC session timezone
     val cols = Seq(col("conv_id"), col("turn_idx"), coalesce(col("text"), lit(""))) ++
-      (if (transcripts.columns.contains("ts")) Seq(coalesce(col("ts").cast("long"), lit(0L))) else Nil) ++
+      (if (transcripts.columns.contains("ts")) Seq(coalesce(col("ts").cast("string"), lit(""))) else Nil) ++
       (if (transcripts.columns.contains("role")) Seq(coalesce(col("role"), lit(""))) else Nil)
     val h = xxhash64(cols: _*)
     val row = transcripts

@@ -159,4 +159,40 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     fast.filter(_._1.startsWith("a")).map(_._2) shouldBe Set("a00")
     fast.toMap.apply("y") shouldBe "w"
   }
+
+  test("CC driver gate is byte-aware: long ids overflow the byte budget and force the distributed path") {
+    val s = spark
+    import s.implicits._
+    // same chain topology, but each id padded to ~200 chars: the ROW count
+    // (19 edges) is far below any row gate, while the byte estimate is not
+    def pad(id: String): String = id * 100
+    val edges = (0 until 19).map(i => (pad(f"a$i%02d"), pad(f"a${i + 1}%02d"))).toList.toDF("id_a", "id_b")
+    val expectDist = ConnectedComponents.components(edges, driverGate = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // budget smaller than the estimate for 19 × ~400-char edges → the fast
+    // path must refuse the collect on byte grounds and fall back
+    ConnectedComponents.estimateDriverBytes(19, 400.0) should be > 1000L
+    spark.conf.set(ConnectedComponents.ByteBudgetConfKey, "1000")
+    try {
+      val viaByteGate = ConnectedComponents.components(edges)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      viaByteGate shouldBe expectDist
+    } finally spark.conf.unset(ConnectedComponents.ByteBudgetConfKey)
+    // the row gate is conf-overridable too (deployments lower it without
+    // code changes); overriding to 5 forces distributed despite the
+    // default-gate call site
+    spark.conf.set(ConnectedComponents.EdgeGateConfKey, "5")
+    try {
+      ConnectedComponents.components(edges)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe expectDist
+    } finally spark.conf.unset(ConnectedComponents.EdgeGateConfKey)
+    // sizing sanity: the full 5M-row gate of short ids fits a 16g driver's
+    // fifth but NOT a 4g driver's (the round-3 bug: the row gate alone
+    // would have collected on both), and KB-scale ids fit neither
+    val budget16g = 16L * 1024 * 1024 * 1024 / 5
+    val budget4g = 4L * 1024 * 1024 * 1024 / 5
+    ConnectedComponents.estimateDriverBytes(5_000_000L, 24.0) should be < budget16g
+    ConnectedComponents.estimateDriverBytes(5_000_000L, 24.0) should be > budget4g
+    ConnectedComponents.estimateDriverBytes(5_000_000L, 2000.0) should be > budget16g
+  }
 }

@@ -102,6 +102,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     rows(kernel) shouldBe rows(inline)
   }
 
+  test("IVF kernel branch at the 4096-cell shape: probing all cells equals the exact scan") {
+    val s = spark
+    import s.implicits._
+    // synthetic 5000-vector corpus (the sf0.001 table is too small to carry
+    // 4096 cells — the shape the kernel branch exists for)
+    val rnd = new scala.util.Random(7)
+    val dims = 8
+    val corpus = (0L until 5000L).map { id =>
+      (id, Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    // nCells=4096 ≫ kernelThreshold → the bounded-selection mapPartitions
+    // branch runs for both assignment (n=1) and probing; nProbe = nCells
+    // makes every query probe every cell, so the candidate set is the full
+    // corpus and IVF must equal exact brute force bit-for-bit
+    val ivf = Knn.ivfTopK(queries, corpus, 5, nCells = 4096, nProbe = 4096)
+    val exact = Knn.exactTopK(queries, corpus, 5)
+    def rows(df: DataFrame): Set[(Long, Int, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    rows(ivf) shouldBe rows(exact)
+  }
+
   test("IVF centroid sample is id-distribution independent (offset corpus works)") {
     // round-2 regression: filter(vec_id < nCells) collected ZERO centroids
     // on a corpus whose ids don't start at 0; the seeded-hash sample must
@@ -207,6 +229,38 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
       hist.sum should be > 0L // non-empty payload → non-empty histogram
       r.getAs[Double]("mean_byte") should (be >= 0.0 and be <= 255.0)
     }
+  }
+
+  test("multimodal: real PNG payloads decode via ImageIO; non-image payloads take the byte fallback") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (7, 5)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var expectedSum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (x * 37, y * 53, (x + y) * 11) // all ≤ 255 → lossless through PNG
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      expectedSum += r + g + b
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq(
+      (1L, "image/png", png, png.length),
+      (2L, "text/fake", "not an image".getBytes("UTF-8"), 12)
+    ).toDF("media_id", "media_type", "payload", "n_bytes")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val p = feats(1L)
+    p.getAs[Int]("width") shouldBe w
+    p.getAs[Int]("height") shouldBe h
+    p.getAs[Int]("channels") shouldBe 3
+    p.getAs[Int]("decoded") shouldBe 1
+    (0 until 8).map(k => p.getAs[Long](s"hist_$k")).sum shouldBe w.toLong * h * 3
+    p.getAs[Double]("mean_byte") shouldBe (expectedSum.toDouble / (w * h * 3)) +- 1e-9
+    val f = feats(2L)
+    f.getAs[Int]("decoded") shouldBe 0
+    f.getAs[Int]("width") shouldBe 3 // byte fallback: floor(sqrt(12))
   }
 
   test("verify emits exact Jaccard and respects theta (C5 semantics)") {
