@@ -325,6 +325,19 @@ object SparkEntry {
           col("hist_4"), col("hist_5"), col("hist_6"), col("hist_7"),
           col("mean_byte"), col("decoded").cast("long").as("decoded"))),
 
+    // audio modality over the same synthetic binary column: text payloads
+    // are not parseable audio, so every row takes the deterministic
+    // byte-feature fallback (decoded = 0) — the oracle mirrors that path;
+    // real WAV decode is asserted in OperatorsSpec against generated PCM
+    "q_audio_features" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(s, Multimodal.syntheticMedia(documentsDf(s, dir)))
+        .select(col("media_id"), col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("duration_sec"),
+          col("hist_0"), col("hist_1"), col("hist_2"), col("hist_3"),
+          col("hist_4"), col("hist_5"), col("hist_6"), col("hist_7"),
+          col("mean_amp"), col("decoded").cast("long").as("decoded"))),
+
     "q_bucket_metrics" -> ((s, dir) =>
       CandidatePairs.bucketMetrics(sigsForDocs(s, dir))
         .select(col("bucket_size").cast("long").as("bucket_size"), col("n_buckets").cast("long").as("n_buckets"))),
@@ -953,6 +966,30 @@ object SparkEntry {
           |  CASE WHEN n = 0 THEN 0.0 ELSE list_sum(cps) * 1.0 / n END AS mean_byte,
           |  CAST(0 AS BIGINT) AS decoded
           |FROM w""".stripMargin,
+
+      // audio fallback features over the same byte payloads (text is not
+      // parseable audio → every row is the deterministic byte path)
+      "q_audio_features" ->
+        """WITH ch AS (
+          |  SELECT doc_id AS media_id, length(text) AS n,
+          |         list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+          |  FROM documents)
+          |SELECT CAST(media_id AS BIGINT) AS media_id,
+          |  CAST(1 AS BIGINT) AS channels,
+          |  CAST(0 AS BIGINT) AS sample_rate,
+          |  CAST(n AS BIGINT) AS n_frames,
+          |  0.0 AS duration_sec,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 0)) AS BIGINT) AS hist_0,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 1)) AS BIGINT) AS hist_1,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 2)) AS BIGINT) AS hist_2,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 3)) AS BIGINT) AS hist_3,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 4)) AS BIGINT) AS hist_4,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 5)) AS BIGINT) AS hist_5,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 6)) AS BIGINT) AS hist_6,
+          |  CAST(len(list_filter(cps, c -> c // 32 = 7)) AS BIGINT) AS hist_7,
+          |  CASE WHEN n = 0 THEN 0.0 ELSE list_sum(cps) * 1.0 / n END AS mean_amp,
+          |  CAST(0 AS BIGINT) AS decoded
+          |FROM ch""".stripMargin,
 
       "q_transcript_clusters" -> transcriptClustersSql,
 

@@ -65,24 +65,30 @@ final class MinHashModel(val numTables: Int, val rowsPerBand: Int, val seed: Lon
 
   /** Raw minima matrix (L*k ints) — exposed for kernel-parity tests against
     * the reference formula.
+    *
+    * One streaming pass over the shingles with the minima matrix
+    * cache-resident, and the 64→32 fold computed ONCE per element: the
+    * textbook minima-outer formulation re-reads the shingle array L·k times
+    * and re-folds every element L·k times — at L=48, k=3 that is 144 redundant
+    * passes per document over the hot path of the signatures phase. The
+    * arithmetic per (element, function) cell is unchanged
+    * (`((1 + ti) * a + b) % HASH_PRIME` in 32-bit Java overflow semantics,
+    * exactly JaccardLshModel.java:55), so minima are bit-for-bit identical.
     */
   def minima(shingles: Array[Long]): Array[Int] = {
-    val out = new Array[Int](numTables * rowsPerBand)
-    var i = 0
-    while (i < out.length) {
-      val a = A(i)
-      val b = B(i)
-      var mn = Int.MaxValue
-      var j = 0
-      while (j < shingles.length) {
-        // 32-bit arithmetic with Java overflow, exactly JaccardLshModel.java:55
-        val ti = Hashing.fold32(shingles(j))
-        val h = ((1 + ti) * a + b) % HashPrime
-        if (h < mn) mn = h
-        j += 1
+    val nm = numTables * rowsPerBand
+    val out = new Array[Int](nm)
+    java.util.Arrays.fill(out, Int.MaxValue)
+    var j = 0
+    while (j < shingles.length) {
+      val ti1 = 1 + Hashing.fold32(shingles(j)) // (1 + ti) with int overflow
+      var i = 0
+      while (i < nm) {
+        val h = (ti1 * A(i) + B(i)) % HashPrime
+        if (h < out(i)) out(i) = h
+        i += 1
       }
-      out(i) = mn
-      i += 1
+      j += 1
     }
     out
   }
@@ -92,24 +98,14 @@ final class MinHashModel(val numTables: Int, val rowsPerBand: Int, val seed: Lon
     */
   def bandHashes(shingles: Array[Long]): Array[Long] = {
     if (shingles.isEmpty) return emptyBands
+    val mins = minima(shingles)
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
       var h = Hashing.mix64(seed ^ 0x6a09e667f3bcc909L, t.toLong)
       var r = 0
       while (r < rowsPerBand) {
-        val i = t * rowsPerBand + r
-        val a = A(i)
-        val b = B(i)
-        var mn = Int.MaxValue
-        var j = 0
-        while (j < shingles.length) {
-          val ti = Hashing.fold32(shingles(j))
-          val hh = ((1 + ti) * a + b) % HashPrime
-          if (hh < mn) mn = hh
-          j += 1
-        }
-        h = Hashing.mix64(h, mn.toLong)
+        h = Hashing.mix64(h, mins(t * rowsPerBand + r).toLong)
         r += 1
       }
       out(t) = h

@@ -1,7 +1,5 @@
 package graft.kernels
 
-import scala.collection.mutable
-
 /** Text normalization + k-shingling → sorted distinct Array[Long] of
   * shingle hashes.
   *
@@ -46,49 +44,70 @@ object Shingler {
   /** Sorted distinct shingle-hash set of `text` (normalized first).
     * Empty/too-short text → empty array (the empty-set case the reference
     * maps to a sentinel hash, `JaccardLshModel.java:43-45`).
+    *
+    * Implementation: primitive `Array[Long]` end-to-end (a `HashSet[Long]`
+    * boxes every element — one heap allocation per shingle on the hottest
+    * loop of the signatures phase); distinctness comes from sort + in-place
+    * dedup, which the contract needs anyway (sorted output).
     */
   def shingles(text: String, k: Int, mode: Mode, seed: Long = 0L): Array[Long] = {
     val norm = normalize(text)
-    val set = new mutable.HashSet[Long]
-    mode match {
+    val raw: Array[Long] = mode match {
       case Chars =>
-        if (norm.length >= k) {
+        if (norm.length < k) EmptyLongs
+        else {
+          val n = norm.length - k + 1
+          val out = new Array[Long](n)
           var i = 0
-          val end = norm.length - k
-          while (i <= end) {
-            set.add(Hashing.hashChars(norm, i, k, seed))
-            i += 1
-          }
+          while (i < n) { out(i) = Hashing.hashChars(norm, i, k, seed); i += 1 }
+          out
         }
       case Words =>
-        if (norm.nonEmpty) {
+        if (norm.isEmpty) EmptyLongs
+        else {
           // Token boundaries are single spaces after normalize; hash a
           // rolling window of k tokens by combining per-token hashes.
-          val tokenHashes = mutable.ArrayBuffer.empty[Long]
+          var tok = new Array[Long](16)
+          var nTok = 0
           var start = 0
           var i = 0
           while (i <= norm.length) {
             if (i == norm.length || norm.charAt(i) == ' ') {
-              if (i > start) tokenHashes += Hashing.hashChars(norm, start, i - start, seed)
+              if (i > start) {
+                if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
+                tok(nTok) = Hashing.hashChars(norm, start, i - start, seed)
+                nTok += 1
+              }
               start = i + 1
             }
             i += 1
           }
-          if (tokenHashes.length >= k) {
+          if (nTok < k) EmptyLongs
+          else {
+            val n = nTok - k + 1
+            val out = new Array[Long](n)
             var j = 0
-            val end = tokenHashes.length - k
-            while (j <= end) {
+            while (j < n) {
               var h = seed ^ 0x2545f4914f6cdd1dL
               var m = 0
-              while (m < k) { h = Hashing.mix64(h, tokenHashes(j + m)); m += 1 }
-              set.add(h)
+              while (m < k) { h = Hashing.mix64(h, tok(j + m)); m += 1 }
+              out(j) = h
               j += 1
             }
+            out
           }
         }
     }
-    val arr = set.toArray
-    java.util.Arrays.sort(arr)
-    arr
+    if (raw.length == 0) return raw
+    java.util.Arrays.sort(raw)
+    var w = 1
+    var r = 1
+    while (r < raw.length) {
+      if (raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
   }
+
+  private val EmptyLongs = new Array[Long](0)
 }

@@ -21,7 +21,10 @@ object SimHashModel {
     */
   def fingerprint(shingles: Array[Long], seed: Long = 0L): Long = {
     if (shingles.isEmpty) return 0L
-    val counts = new Array[Int](64)
+    // ones(b) = count of elements whose projection bit b is 1; the ±1 vote
+    // passes iff ones > zeros ⇔ 2·ones > n — same fingerprint as the
+    // increment/decrement formulation, with a branchless inner loop
+    val ones = new Array[Int](64)
     var i = 0
     while (i < shingles.length) {
       // Re-mix with the seed so fingerprints for different seeds are
@@ -29,15 +32,16 @@ object SimHashModel {
       val h = Hashing.mix64(shingles(i) ^ seed)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        ones(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
       i += 1
     }
+    val n = shingles.length
     var fp = 0L
     var b = 0
     while (b < 64) {
-      if (counts(b) > 0) fp |= (1L << b)
+      if (2 * ones(b) > n) fp |= (1L << b)
       b += 1
     }
     fp

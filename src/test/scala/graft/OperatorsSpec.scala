@@ -263,6 +263,49 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     f.getAs[Int]("width") shouldBe 3 // byte fallback: floor(sqrt(12))
   }
 
+  test("multimodal: real WAV payloads decode via javax.sound; non-audio payloads take the byte fallback") {
+    val s = spark
+    import s.implicits._
+    // 16-bit signed mono PCM at 8 kHz: sample i = ((i % 256) - 128) << 8,
+    // so the decoder's normalized byte v = i % 256 — hist/mean are closed-form
+    val rate = 8000f
+    val nFrames = 1600
+    val data = new Array[Byte](nFrames * 2)
+    var expectedSum = 0L
+    for (i <- 0 until nFrames) {
+      val sVal = ((i % 256) - 128) << 8
+      data(2 * i) = (sVal & 0xff).toByte
+      data(2 * i + 1) = ((sVal >> 8) & 0xff).toByte
+      expectedSum += i % 256
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val media = Seq(
+      (1L, "audio/wav", wav, wav.length),
+      (2L, "text/fake", "not audio at all".getBytes("UTF-8"), 16)
+    ).toDF("media_id", "media_type", "payload", "n_bytes")
+    val feats = Multimodal.extractAudioFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val a = feats(1L)
+    a.getAs[Int]("decoded") shouldBe 1
+    a.getAs[Int]("channels") shouldBe 1
+    a.getAs[Int]("sample_rate") shouldBe 8000
+    a.getAs[Long]("n_frames") shouldBe nFrames.toLong
+    a.getAs[Double]("duration_sec") shouldBe (nFrames / rate.toDouble) +- 1e-9
+    // v cycles 0..255 six full times plus 0..63: bins 0-1 get 32·7, bins 2-7 get 32·6
+    (0 until 8).map(k => a.getAs[Long](s"hist_$k")) shouldBe Seq(224L, 224L, 192L, 192L, 192L, 192L, 192L, 192L)
+    a.getAs[Double]("mean_amp") shouldBe (expectedSum.toDouble / nFrames) +- 1e-9
+    val f = feats(2L)
+    f.getAs[Int]("decoded") shouldBe 0
+    f.getAs[Int]("channels") shouldBe 1
+    f.getAs[Int]("sample_rate") shouldBe 0
+    f.getAs[Long]("n_frames") shouldBe 16L
+  }
+
   test("verify emits exact Jaccard and respects theta (C5 semantics)") {
     val s = spark
     import s.implicits._
