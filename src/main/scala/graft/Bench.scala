@@ -136,14 +136,17 @@ object Bench {
     // per-core memory, exactly like fixed-size executors × N — a fixed heap
     // would give the small cluster 4× the memory-per-core and its GC (also
     // sized by ActiveProcessorCount) a pathological heap-to-thread ratio.
-    // -Xmx ONLY: no -Xms, no AlwaysPreTouch — the round-3 protocol
-    // pre-touched every child page up front and stacked whole-heap
-    // residency on top of the outer JVM and tmpfs until the kernel OOM
-    // killer fired. Lazily committed pages cost some first-touch zeroing
-    // during the warmup run, which is exactly what the warmup is for.
+    // Children DO pre-touch their (fixed) heap: in this microVM, lazily
+    // zeroing fresh heap pages mid-run costs whole cores of kernel time —
+    // measured wide-width runs degraded 100 s → 170-200 s when round 4
+    // briefly made child heaps lazy. Pre-touch is safe HERE because the
+    // round-3 OOM came from the ~90 GiB pre-touched OUTER JVM stacking on
+    // everything else; that heap is now capped at 24g and lazy, children
+    // run one at a time, and the largest child commits 24g (8 cores × 3g)
+    // — peak residency stays under ~45 GiB of the 125 GiB host.
     val heapGb = 3 * cores
     val cmd = Seq(javaBin, s"-XX:ActiveProcessorCount=$cores",
-      s"-Xmx${heapGb}g",
+      s"-Xmx${heapGb}g", s"-Xms${heapGb}g", "-XX:+AlwaysPreTouch",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
       addOpens ++ Seq("-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--pipeline-run", cores.toString, nConvs.toString)
