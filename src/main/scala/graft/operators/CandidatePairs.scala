@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.DedupConfig
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Candidate-pair generation: the batch re-grounding of the reference's
@@ -16,9 +16,8 @@ import org.apache.spark.sql.functions._
   *     global rather than per-segment (SURVEY §4: recall can only improve)
   *
   * **Skew is handled explicitly** (SURVEY §7.4): hot buckets (boilerplate
-  * text, empty-doc sentinel bands) blow up quadratically, and AQE's skew
-  * join cannot split a `collect_list` hot key. Buckets larger than
-  * `bucketCap` take a salted two-phase path: ids are deterministically
+  * text, empty-doc sentinel bands) blow up quadratically. Buckets larger
+  * than `bucketCap` take a salted two-phase path: ids are deterministically
   * chunked, (chunkI ≤ chunkJ) block keys are exploded on both sides, and the
   * quadratic enumeration runs as an equi-join over (band, ci, cj) — spread
   * across ~g²/2 shuffle keys instead of one. **No pairs are lost**: the
@@ -26,43 +25,121 @@ import org.apache.spark.sql.functions._
   */
 object CandidatePairs {
 
-  /** (band, conv_id) posting rows with per-band bucket size `n` attached.
-    * The size comes from a map-side-combinable groupBy count hash-joined
-    * back (build side = the small counts table) — deliberately NOT a window:
-    * a window over `band` sorts every posting row inside skew-prone band
-    * partitions, while this shape streams the postings unsorted.
-    */
-  private def postings(sigs: DataFrame): DataFrame = {
-    // One explicit hash exchange on band; the counts aggregation AND the
-    // count join both see HashPartitioning(band) satisfied, so the posting
-    // rows shuffle ONCE (ReuseExchange shares the single write between the
-    // two consumers) instead of once for the agg and again for the join —
-    // at L=48 × 300k docs that's ~13M rows of shuffle saved per run.
-    val rows = sigs.select(col("conv_id"), explode(col("bands")).as("band"))
-      .repartition(col("band"))
-    val counts = rows.groupBy(col("band")).agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-    rows.join(counts.hint("shuffle_hash"), Seq("band")) // drops singleton buckets
-  }
-
   /** All unordered candidate pairs (id_a < id_b) with the number of
     * matching bands. Complete (no recall loss from capping).
+    *
+    * Shape: ONE hash exchange of the posting rows, sorted by band within
+    * each partition, then a single streaming pass enumerates each bucket —
+    * small buckets (≤ bucketCap) emit their pairs in place; oversized
+    * buckets emit their postings tagged for the salted block join. No
+    * counts aggregation, no count join, no band self-join: the previous
+    * join shape re-read the postings exchange up to 4× and probed a
+    * bucket-count hash relation per read (~3 GB of repeated exchange
+    * traffic + hash probes at L=48 × 600k docs — the dominant memory-bus
+    * load of the stage on one box, pure overhead on a cluster). The pass
+    * buffers at most one bucket AND at most bucketCap+1 rows (once a run
+    * overflows the cap it streams) — memory is O(bucketCap) regardless of
+    * how hot a band is.
+    *
+    * The small output (pairs + rare hot-bucket postings, candidate-density
+    * proportional) is materialized once: it feeds the hit-count aggregation
+    * and, rarely, the block join, and must not re-run the sorted scan.
     */
   def candidatePairs(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val posts = postings(sigs)
+    val spark = sigs.sparkSession
+    import spark.implicits._
 
-    // ---- small buckets: within-bucket enumeration as a band self-join ----
-    // (codegen'd, no per-bucket array materialization, and AQE can
-    // skew-split the join where a band runs hot)
-    val small = posts.filter(col("n") <= cfg.bucketCap)
-    val smallPairs = small.select(col("band"), col("conv_id").as("id_a"))
-      .join(small.select(col("band"), col("conv_id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val cap = cfg.bucketCap
+    // Scan output row: either a small-bucket candidate pair (_3 == null)
+    // or an oversized-bucket posting row (_3 = band, _1 = conv_id, _2
+    // unused) destined for the salted block join. A tagged union instead
+    // of two outputs so the sorted postings stream is consumed once.
+    type BucketOut = (String, String, java.lang.Long)
+    val scanned = sigs
+      .select(col("conv_id"), explode(col("bands")).as("band"))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"))
+      .select(col("band"), col("conv_id")).as[(Long, String)]
+      .mapPartitions[BucketOut] { (iter: Iterator[(Long, String)]) =>
+        // Runs of equal band are contiguous after the sort; ids within a
+        // run arrive in shuffle order — irrelevant, pair normalization
+        // makes the emitted SET order-independent (determinism contract).
+        new Iterator[BucketOut] {
+          private val buf = new scala.collection.mutable.ArrayBuffer[String](64)
+          private var curBand = 0L
+          private var overflow = false
+          private var pending: Iterator[BucketOut] = Iterator.empty
+          private var head: Option[(Long, String)] = None
+
+          private def pairsOf(band: Long, ids: Array[String]): Iterator[BucketOut] =
+            if (ids.length < 2) Iterator.empty
+            else for {
+              i <- ids.indices.iterator
+              j <- (i + 1 until ids.length).iterator
+            } yield {
+              val x = ids(i); val y = ids(j)
+              // same binary-UTF8 "<" the join filter used: Spark's UTF8String
+              // ordering equals java.lang.String ordering for the ASCII ids
+              // this engine generates AND for any UTF-8 text by byte order
+              (if (x < y) (x, y, null) else (y, x, null)): BucketOut
+            }
+
+          private def flushRun(): Iterator[BucketOut] = {
+            val out =
+              if (overflow) Iterator.empty // members already streamed out tagged
+              else pairsOf(curBand, buf.toArray) // snapshot: pairsOf is lazy, buf is cleared next
+            buf.clear(); overflow = false
+            out
+          }
+
+          private def advance(): Unit = {
+            while (pending.isEmpty && (head.nonEmpty || iter.hasNext)) {
+              val (band, id) = head.getOrElse(iter.next())
+              head = None
+              if (buf.isEmpty && !overflow) { curBand = band; buf += id }
+              else if (band == curBand) {
+                if (overflow) pending = Iterator.single((id, null, band): BucketOut)
+                else {
+                  buf += id
+                  if (buf.length > cap) {
+                    // cap exceeded: reclassify the buffered run as a hot
+                    // bucket — emit every member tagged, then stream
+                    overflow = true
+                    val b = curBand
+                    pending = buf.toArray.iterator.map(m => (m, null, b): BucketOut)
+                    buf.clear()
+                  }
+                }
+              } else { // run boundary
+                head = Some((band, id))
+                pending = flushRun()
+              }
+            }
+            if (pending.isEmpty && buf.nonEmpty) pending = flushRun()
+          }
+
+          override def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+          override def next(): BucketOut = { if (pending.isEmpty) advance(); pending.next() }
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.LONG))
+      .toDF("a", "b", "band")
+      .localCheckpoint(true)
+
+    val smallPairs = scanned.filter(col("band").isNull)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
 
     // ---- oversized buckets: salted block decomposition ----
-    val big = posts
-      .filter(col("n") > cfg.bucketCap)
-      .withColumn("g", ceil(col("n") / cfg.bucketCap).cast("int"))
+    // Bucket sizes for the chunk count come from a groupBy over the HOT
+    // postings only (bounded by hot-band membership — tiny next to the
+    // corpus), broadcast back onto them.
+    val hot = scanned.filter(col("band").isNotNull)
+      .select(col("band"), col("a").as("conv_id"))
+    val hotCounts = hot.groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val big = hot.join(broadcast(hotCounts), Seq("band"))
+      .withColumn("g", ceil(col("n") / cap).cast("int"))
       .withColumn("chunk", pmod(xxhash64(col("conv_id")), col("g")).cast("int"))
 
     // left replica: row with chunk ci participates in blocks (ci, cj) ∀ cj ≥ ci
@@ -74,8 +151,9 @@ object CandidatePairs {
       .withColumn("ci", explode(sequence(lit(0), col("chunk"))))
       .select(col("band"), col("ci"), col("chunk").as("cj"), col("conv_id").as("id_b"))
 
-    // shuffle_hash: both replicas are wide fan-outs of the postings — never
-    // broadcastable, and checkpoint-derived size estimates can't be trusted
+    // shuffle_hash: both replicas are wide fan-outs of the hot postings —
+    // never broadcastable, and checkpoint-derived size estimates can't be
+    // trusted
     val bigPairs = lhs.hint("shuffle_hash")
       .join(rhs, Seq("band", "ci", "cj"))
       .filter(

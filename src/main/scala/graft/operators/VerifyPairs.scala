@@ -80,7 +80,11 @@ object VerifyPairs {
     // probe side); materialize it once so the candidates stage is not
     // recomputed per subtree (eager: verify's callers always consume it).
     val pairsM = pairs.localCheckpoint(true)
-    val payload = memberPayload(pairsM, sigs, cfg.broadcastVerifyIds)
+    // The payload feeds BOTH sides of the pair join; materialized once so
+    // the sigs scan + semi-join subtree doesn't execute twice (it is
+    // bounded by |distinct candidate members| — the same bound the
+    // broadcast path already relies on).
+    val payload = memberPayload(pairsM, sigs, cfg.broadcastVerifyIds).localCheckpoint(true)
     pairsM.hint("shuffle_hash")
       .join(payload.withColumnRenamed("conv_id", "id_a")
                    .withColumnRenamed("shingles", "sh_a")
