@@ -190,9 +190,9 @@ object Bench {
         // the same measurement
         val input = s.read.parquet(writeInput(s, nConvs))
         val (sigs, tSig) = timed(Dedup.signatures(s, Dedup.documents(input), cfg).localCheckpoint(true))
-        val (mapping, tMap) = timed(Dedup.exactGroups(sigs).localCheckpoint(true))
-        val reps = mapping.select(col("rep").as("conv_id")).distinct()
-        val (repBands, tRep) = timed(Dedup.repBands(sigs).localCheckpoint(true))
+        val (groups, tMap) = timed(Dedup.repGroups(sigs).localCheckpoint(true))
+        val reps = groups.select(col("rep").as("conv_id"))
+        val (repBands, tRep) = timed(groups.select(col("rep").as("conv_id"), col("bands")).localCheckpoint(true))
         // candver split in two so the scaling artifact attributes the
         // band-join/hit-count shuffle separately from the payload joins +
         // exact-Jaccard kernel (the pipeline runs them fused; the cut point
@@ -343,15 +343,22 @@ object Bench {
         val tC4 = pipelineInChildJvm(4, scaleConvs)
         f"""{"n":1,"n4":4,"t_n_sec":$tC1%.3f,"t_4n_sec":$tC4%.3f,"efficiency":${tC1 / (4.0 * tC4)}%.3f}"""
       } else { skipped += "control"; "null" }
-    // leftover-budget top-up of the HIGH-VARIANCE width only: the wide
-    // min-estimator is the weak one (±150% spread vs ±10% narrow), so
-    // extra samples go where the variance is; every observation lands in
-    // t_4n_runs, so the asymmetric sampling is visible in the artifact.
+    // leftover-budget top-ups: both widths' headline numbers are MINIMA,
+    // so the weaker estimator is simply the width with fewer samples —
+    // top up whichever has fewer (the mandatory reps run the wide width
+    // twice, so this alternates starting narrow), regardless of where the
+    // current efficiency stands. Every observation lands in
+    // t_n_runs/t_4n_runs, so the sampling is fully visible.
     var topUps = 0
-    while (topUps < 6 && tNRuns.min / (4.0 * t4NRuns.min) < 0.8 &&
-           remaining > 1.5 * t4NRuns.min) {
-      t4NRuns += pipelineInChildJvm(4 * n, scaleConvs)
-      topUps += 1
+    var cont = true
+    while (cont && topUps < 8) {
+      val narrowNext = tNRuns.length < t4NRuns.length
+      val est = if (narrowNext) 1.3 * tNRuns.min else 1.5 * t4NRuns.min
+      if (remaining > est) {
+        if (narrowNext) tNRuns += pipelineInChildJvm(n, scaleConvs)
+        else t4NRuns += pipelineInChildJvm(4 * n, scaleConvs)
+        topUps += 1
+      } else cont = false
     }
     val tN = tNRuns.min
     val t4N = t4NRuns.min

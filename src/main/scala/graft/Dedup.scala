@@ -35,6 +35,21 @@ object Dedup {
   def clusters(allDocs: DataFrame, verifiedPairs: DataFrame): DataFrame =
     ConnectedComponents.assign(allDocs, verifiedPairs)
 
+  /** The exact-collapse group table: one row per distinct shingle set
+    * (`set_hash`) with the representative (min conv_id) and its bands, in
+    * ONE `min_by` aggregation. Both exact-collapse consumers derive from
+    * it — the member→rep mapping (a column-pruned join back) and the
+    * rep (conv_id, bands) rows that feed candidates — so the set_hash
+    * shuffle of the signatures happens once, not once per consumer.
+    * Partial aggregation combines map-side, so duplicate-heavy corpora
+    * shrink before the exchange.
+    */
+  def repGroups(sigs: DataFrame): DataFrame =
+    sigs.select(col("set_hash"), col("conv_id"), col("bands"))
+      .groupBy(col("set_hash"))
+      .agg(min_by(struct(col("conv_id"), col("bands")), col("conv_id")).as("r"))
+      .select(col("set_hash"), col("r.conv_id").as("rep"), col("r.bands").as("bands"))
+
   /** Exact-duplicate collapse: one representative (min id) per distinct
     * shingle set (`set_hash`). Lossless for pair/cluster semantics — equal
     * sets have Jaccard 1 — and essential at scale: a clique of m identical
@@ -45,23 +60,20 @@ object Dedup {
     *
     * @return (conv_id, rep) mapping covering every document
     */
-  def exactGroups(sigs: DataFrame): DataFrame = {
-    val reps = sigs.groupBy(col("set_hash")).agg(min(col("conv_id")).as("rep"))
-    sigs.select(col("conv_id"), col("set_hash")).join(reps, Seq("set_hash")).select(col("conv_id"), col("rep"))
-  }
+  def exactGroups(sigs: DataFrame): DataFrame =
+    mappingFrom(sigs, repGroups(sigs))
 
-  /** Representative (conv_id, bands) rows in ONE aggregation: `min_by`
-    * pulls each exact-group's min-id row directly, replacing the
-    * groupBy+join-back+semi-join chain (three exchanges, two of them
-    * carrying the bands column) with a single set_hash-keyed shuffle.
-    * Partial aggregation combines map-side, so duplicate-heavy corpora
-    * shrink before the exchange.
+  /** Member→rep mapping from a precomputed [[repGroups]] table (so callers
+    * holding one don't re-aggregate).
     */
+  def mappingFrom(sigs: DataFrame, groups: DataFrame): DataFrame =
+    sigs.select(col("conv_id"), col("set_hash"))
+      .join(groups.select(col("set_hash"), col("rep")), Seq("set_hash"))
+      .select(col("conv_id"), col("rep"))
+
+  /** Representative (conv_id, bands) rows — see [[repGroups]]. */
   def repBands(sigs: DataFrame): DataFrame =
-    sigs.select(col("set_hash"), col("conv_id"), col("bands"))
-      .groupBy(col("set_hash"))
-      .agg(min_by(struct(col("conv_id"), col("bands")), col("conv_id")).as("r"))
-      .select(col("r.conv_id").as("conv_id"), col("r.bands").as("bands"))
+    repGroups(sigs).select(col("rep").as("conv_id"), col("bands"))
 
   /** The whole pipeline: transcripts → cluster assignment.
     *
@@ -77,19 +89,20 @@ object Dedup {
     */
   def pipeline(spark: SparkSession, transcripts: DataFrame, cfg: DedupConfig): DataFrame = {
     val sigs = signatures(spark, documents(transcripts), cfg).localCheckpoint(eager = true)
-    val mapping = exactGroups(sigs)
-    // Only (conv_id, bands) of each group representative feeds candidates
-    // (single min_by aggregation — see repBands): the shingle payload is
-    // KB/row vs ~0.5 KB of bands, and verify re-attaches it member-reduced
-    // from the checkpointed sigs anyway (candidate members are always
-    // reps). Shuffling the payload through the rep selection was the
-    // single most expensive stage at 300k convs (32 s of a 94 s run).
-    val rb = repBands(sigs)
+    // ONE set_hash aggregation serves the member→rep mapping AND the rep
+    // bands (see repGroups); materialized because both consumers need it.
+    // Only (conv_id, bands) of each representative feeds candidates: the
+    // shingle payload is KB/row vs ~0.5 KB of bands, and verify re-attaches
+    // it member-reduced from the checkpointed sigs anyway (candidate
+    // members are always reps). Shuffling the payload through the rep
+    // selection was the single most expensive stage at 300k convs.
+    val groups = repGroups(sigs).localCheckpoint(eager = true)
+    val mapping = mappingFrom(sigs, groups)
+    val rb = groups.select(col("rep").as("conv_id"), col("bands"))
     val verified = verify(candidates(rb, cfg), sigs, cfg)
-    // allIds for the cluster assignment re-derives the rep id set from the
-    // strings-only mapping (cheap) rather than re-running the bands-carrying
-    // min_by aggregation a second time
-    val reps = mapping.select(col("rep").as("conv_id")).distinct()
+    // the rep id set comes straight from the materialized group table —
+    // one row per group already, no distinct needed
+    val reps = groups.select(col("rep").as("conv_id"))
     val repClusters = ConnectedComponents.assign(reps, verified)
     mapping
       .join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))

@@ -64,60 +64,60 @@ object VerifyPairs {
       .join(idsSide, Seq("conv_id"), "left_semi")
   }
 
+  /** The shared exact-scoring join. Shape (broadcastable regime,
+    * `broadcastPairs = true`):
+    *
+    *   - pairs are materialized once (they feed three subtrees) and are
+    *     tiny — tens of bytes/row vs the KB-sized shingle payload;
+    *   - the member-reduced payload is materialized once (it feeds both
+    *     join sides);
+    *   - join 1 streams the payload against the BROADCAST pairs — neither
+    *     side shuffles, and the shingle arrays stay where they are;
+    *   - join 2 is the only payload exchange: the join-1 output (one row
+    *     per pair, now carrying sh_a) and the payload meet in a shuffled
+    *     hash join on id_b.
+    *
+    * That is one array-carrying exchange per verify instead of three. In
+    * the candidate-dense regime (`broadcastPairs = false`, same knob as
+    * the id semi-join) both joins fall back to shuffled hash joins — the
+    * hint must still be explicit: Catalyst's size estimate for a
+    * checkpointed plan badly undercounts array columns, and without it
+    * the ENTIRE signatures table gets broadcast (driver-serial collect,
+    * OOM-by-maxResultSize at scale).
+    */
+  private def scoredPairs(pairs: DataFrame, sigs: DataFrame, broadcastPairs: Boolean): DataFrame = {
+    val pairsM = pairs.localCheckpoint(true)
+    val payload = memberPayload(pairsM, sigs, broadcastPairs).localCheckpoint(true)
+    val payloadA = payload.withColumnRenamed("conv_id", "id_a")
+      .withColumnRenamed("shingles", "sh_a")
+      .withColumnRenamed("simhash", "fp_a")
+    val payloadB = payload.withColumnRenamed("conv_id", "id_b")
+      .withColumnRenamed("shingles", "sh_b")
+      .withColumnRenamed("simhash", "fp_b")
+    val join1 =
+      if (broadcastPairs) payloadA.join(broadcast(pairsM), Seq("id_a"))
+      else payloadA.join(pairsM.hint("shuffle_hash"), Seq("id_a"))
+    join1.hint("shuffle_hash")
+      .join(payloadB, Seq("id_b"))
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .withColumn("simhash_sim", hamming64Col(col("fp_a"), col("fp_b")))
+      .select("id_a", "id_b", "matching_bands", "jaccard", "simhash_sim")
+  }
+
   /** @param pairs (id_a, id_b, matching_bands)
     * @param sigs  signatures with (conv_id, shingles, simhash)
     * @return (id_a, id_b, matching_bands, jaccard, simhash_sim) filtered at θ
-    *
-    * The pairs side carries a `shuffle_hash` hint: the payload side holds
-    * the full shingle arrays, and Catalyst's size estimate for a
-    * checkpointed plan badly undercounts array columns — without the hint
-    * it broadcasts the entire signatures table (driver-serial collect,
-    * OOM-by-maxResultSize at scale). A shuffled hash join keeps both sides
-    * distributed and builds on the (typically much smaller) pairs side.
     */
-  def verify(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    // The pairs plan feeds three subtrees (the id set twice + the join
-    // probe side); materialize it once so the candidates stage is not
-    // recomputed per subtree (eager: verify's callers always consume it).
-    val pairsM = pairs.localCheckpoint(true)
-    // The payload feeds BOTH sides of the pair join; materialized once so
-    // the sigs scan + semi-join subtree doesn't execute twice (it is
-    // bounded by |distinct candidate members| — the same bound the
-    // broadcast path already relies on).
-    val payload = memberPayload(pairsM, sigs, cfg.broadcastVerifyIds).localCheckpoint(true)
-    pairsM.hint("shuffle_hash")
-      .join(payload.withColumnRenamed("conv_id", "id_a")
-                   .withColumnRenamed("shingles", "sh_a")
-                   .withColumnRenamed("simhash", "fp_a"), Seq("id_a"))
-      .hint("shuffle_hash")
-      .join(payload.withColumnRenamed("conv_id", "id_b")
-                   .withColumnRenamed("shingles", "sh_b")
-                   .withColumnRenamed("simhash", "fp_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
-      .withColumn("simhash_sim", hamming64Col(col("fp_a"), col("fp_b")))
+  def verify(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    scoredPairs(pairs, sigs, cfg.broadcastVerifyIds)
       .filter(col("jaccard") >= cfg.theta)
-      .select("id_a", "id_b", "matching_bands", "jaccard", "simhash_sim")
-  }
 
   /** Exact verification without the θ filter — exposes the raw scores for
     * diagnostics and threshold tuning (≙ the reference's function-score
     * variant Q5: score without filtering).
     */
-  def score(pairs: DataFrame, sigs: DataFrame, broadcastIds: Boolean = true): DataFrame = {
-    val pairsM = pairs.localCheckpoint(true)
-    val payload = memberPayload(pairsM, sigs, broadcastIds)
-    pairsM.hint("shuffle_hash")
-      .join(payload.withColumnRenamed("conv_id", "id_a")
-                   .withColumnRenamed("shingles", "sh_a")
-                   .withColumnRenamed("simhash", "fp_a"), Seq("id_a"))
-      .hint("shuffle_hash")
-      .join(payload.withColumnRenamed("conv_id", "id_b")
-                   .withColumnRenamed("shingles", "sh_b")
-                   .withColumnRenamed("simhash", "fp_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
-      .withColumn("simhash_sim", hamming64Col(col("fp_a"), col("fp_b")))
-      .select("id_a", "id_b", "matching_bands", "jaccard", "simhash_sim")
-  }
+  def score(pairs: DataFrame, sigs: DataFrame, broadcastIds: Boolean = true): DataFrame =
+    scoredPairs(pairs, sigs, broadcastIds)
 
   private val lcsRatioUdf = udf { (a: String, b: String) =>
     Lcs.lcsRatio(if (a == null) "" else a, if (b == null) "" else b)
