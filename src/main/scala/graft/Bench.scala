@@ -6,14 +6,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark harness. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "turns_per_sec":..., "scaling":{"n":2,"t_n_sec":...,"t_4n_sec":...,
-  *  "efficiency":..., "control":{...}, "phases":{...}}}
+  *  "efficiency":..., "control":{...}, "weak":{...}, "phases":{...}}}
   *
   * The scaling section evidences the north rule's two-cluster-size
-  * criterion in this sandbox: the same flagship pipeline on the same
-  * deterministic input at local[N] vs local[4N] (stand-in for N vs 4N
-  * executors), efficiency = T_N / (4 · T_4N). The 1→4 control pair and the
-  * per-width phase breakdowns are recorded in the same artifact so the
-  * headline number is attributable without external notes.
+  * criterion in this sandbox two ways, both recorded in one artifact:
+  *   - STRONG (headline): the same flagship pipeline on the same
+  *     deterministic input at local[N] vs local[4N] (stand-in for N vs 4N
+  *     executors), efficiency = T_N / (4 · T_4N);
+  *   - WEAK (`scaling.weak`): N cores on D convs vs 4N cores on 4D convs —
+  *     the Gustafson shape a growing cluster actually runs (data scales
+  *     with executors, per-executor partition sizes constant),
+  *     efficiency = T_N(D) / T_4N(4D).
+  * The 1→4 control pair and the per-width phase breakdowns are recorded in
+  * the same artifact so the headline number is attributable without
+  * external notes.
   *
   * Memory protocol (the round-3 bench was OOM-killed with zero recorded
   * numbers; everything below exists so that cannot recur):
@@ -256,9 +262,14 @@ object Bench {
     val flagDir = writeInput(spark, nConvs)
     val nTurns = spark.read.parquet(flagDir).count()
     val tFlag = time { Dedup.pipeline(spark, spark.read.parquet(flagDir), cfg).count(); () }
-    // pre-generate the scaling corpus at full width (untimed) — generating
-    // it inside the first 2-core child would cost minutes of serial wall
+    // pre-generate the scaling corpora at full width (untimed) — generating
+    // them inside the first 2-core child would cost minutes of serial wall.
+    // The quarter corpus feeds the weak-scaling stage (N cores on D vs 4N
+    // cores on 4D); it shares nothing with the flagship corpus unless the
+    // smoke config collapses the sizes.
     writeInput(spark, scaleConvs)
+    val weakConvs = scaleConvs / 4
+    writeInput(spark, weakConvs)
     spark.stop()
     // tmpfs pages back before the scaling children start (unless the smoke
     // config makes the flagship and scaling corpora the same table)
@@ -318,8 +329,9 @@ object Bench {
     // width; control ≈ 1-core ≈ 2.1× the 2-core min + 4-core ≈ wide min)
     def phasesEst: Double = 1.2 * (tNRuns.min + t4NRuns.min)
     def controlEst: Double = 2.1 * tNRuns.min + 1.3 * t4NRuns.min
+    def weakReserve: Double = 0.4 * tNRuns.min + 10
     var reps = 1
-    while (reps < maxReps && remaining > repCost + phasesEst + controlEst) {
+    while (reps < maxReps && remaining > repCost + phasesEst + controlEst + weakReserve) {
       repCost = (repCost + runRep()) / 2 // smoothed
       reps += 1
     }
@@ -327,7 +339,7 @@ object Bench {
     // per-phase breakdown at both widths (one extra run each) so the
     // efficiency number is attributable from the recorded artifact alone
     val phasesJson: String =
-      if (remaining > phasesEst + controlEst) {
+      if (remaining > phasesEst + controlEst + weakReserve) {
         val pN = phasesInChildJvm(n, scaleConvs)
         val p4N = phasesInChildJvm(4 * n, scaleConvs)
         s"""{"n":$pN,"n4":$p4N}"""
@@ -338,11 +350,24 @@ object Bench {
     // the pipeline; the 1→4 pair (one run each — it is a control, not the
     // headline) brackets that effect in-artifact.
     val controlJson: String =
-      if (remaining > controlEst) {
+      if (remaining > controlEst + weakReserve) {
         val tC1 = pipelineInChildJvm(1, scaleConvs)
         val tC4 = pipelineInChildJvm(4, scaleConvs)
         f"""{"n":1,"n4":4,"t_n_sec":$tC1%.3f,"t_4n_sec":$tC4%.3f,"efficiency":${tC1 / (4.0 * tC4)}%.3f}"""
       } else { skipped += "control"; "null" }
+    // WEAK scaling (Gustafson): N cores on D convs vs 4N cores on 4D convs —
+    // the shape a growing cluster actually runs (data scales with executors;
+    // per-executor partition sizes stay constant). The 4N-on-4D measurement
+    // IS the strong pair's wide width (same job, same corpus), so this stage
+    // costs one extra narrow run on the quarter corpus. Ideal weak scaling
+    // has T_N(D) = T_4N(4D); efficiency = T_N(D) / T_4N(4D).
+    def weakEst: Double = 0.4 * tNRuns.min + 10
+    val tWeakN: Option[Double] =
+      if (remaining > weakEst) {
+        val t = pipelineInChildJvm(n, weakConvs)
+        deleteRecursively(inputDir(weakConvs))
+        Some(t)
+      } else { skipped += "weak"; None }
     // leftover-budget top-ups: both widths' headline numbers are MINIMA,
     // so the weaker estimator is simply the width with fewer samples —
     // top up whichever has fewer (the mandatory reps run the wide width
@@ -363,6 +388,14 @@ object Bench {
     val tN = tNRuns.min
     val t4N = t4NRuns.min
     val efficiency = tN / (4.0 * t4N)
+    // rendered against the FINAL wide-width min (top-ups after the weak
+    // stage may have improved it; every t_4n observation is the same job
+    // on the same corpus, so the min is the right denominator)
+    val weakJson: String = tWeakN match {
+      case Some(t) =>
+        f"""{"n":$n,"n4":${4 * n},"convs_n":$weakConvs,"convs_4n":$scaleConvs,"t_n_sec":$t%.3f,"t_4n_sec":$t4N%.3f,"efficiency":${t / t4N}%.3f}"""
+      case None => "null"
+    }
     deleteRecursively(inputDir(scaleConvs))
 
     val qs = (results :+ ("flagship_pipeline" -> tFlag))
@@ -373,6 +406,6 @@ object Bench {
     val n4RunsJson = t4NRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"bench_turns":$nTurns,"turns_per_sec":$turnsPerSec%.1f,"scaling":{"n":$n,"n4":${4 * n},"convs":$scaleConvs,"mem_available_gb":$availGb,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"skipped":$skippedJson,"t_n_runs":$nRunsJson,"t_4n_runs":$n4RunsJson,"t_n_sec":$tN%.3f,"t_4n_sec":$t4N%.3f,"efficiency":$efficiency%.3f,"control":$controlJson,"phases":$phasesJson}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"bench_turns":$nTurns,"turns_per_sec":$turnsPerSec%.1f,"scaling":{"n":$n,"n4":${4 * n},"convs":$scaleConvs,"mem_available_gb":$availGb,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"skipped":$skippedJson,"t_n_runs":$nRunsJson,"t_4n_runs":$n4RunsJson,"t_n_sec":$tN%.3f,"t_4n_sec":$t4N%.3f,"efficiency":$efficiency%.3f,"control":$controlJson,"weak":$weakJson,"phases":$phasesJson}}""")
   }
 }
