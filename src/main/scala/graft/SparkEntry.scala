@@ -496,13 +496,25 @@ object SparkEntry {
     //      hash + input fingerprint), and the resumed clusters are compared
     //      against the same recursive-CTE oracle as q_transcript_clusters ----
     "q_checkpointed_clusters" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
+      // tmpfs scratch when available: the checkpoint store is a durability
+      // surface under test, not a measurement of this sandbox's virtual-disk
+      // latency. The workDir is deleted below once the resumed result is
+      // eagerly checkpointed (earlier revisions leaked /tmp/graft-ckpt-q*).
+      val scratchBase = java.nio.file.Paths.get(
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp")
+      val work = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt-q").toString
       val ts = eventTranscripts(s, dir)
       val (_, firstStages) = plans.CheckpointedPipeline.run(s, ts, DedupConfig(), work, nBuckets = 16)
       require(firstStages.forall(!_.reused), s"fresh workDir must compute all stages: $firstStages")
       val (resumed, secondStages) = plans.CheckpointedPipeline.run(s, ts, DedupConfig(), work, nBuckets = 16)
       require(secondStages.forall(_.reused), s"resume must reuse every checkpointed stage: $secondStages")
-      resumed.select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))
+      val out = resumed
+        .select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))
+        .localCheckpoint(true) // detach from the workDir parquet before deleting it
+      val p = java.nio.file.Paths.get(work)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      out
     }),
 
     // ---- Q1/Q2 query AST + compat dispatch end-to-end: the SAME cluster
