@@ -362,40 +362,42 @@ object Bench {
     // costs one extra narrow run on the quarter corpus. Ideal weak scaling
     // has T_N(D) = T_4N(4D); efficiency = T_N(D) / T_4N(4D).
     def weakEst: Double = 0.4 * tNRuns.min + 10
-    val tWeakN: Option[Double] =
-      if (remaining > weakEst) {
-        val t = pipelineInChildJvm(n, weakConvs)
-        deleteRecursively(inputDir(weakConvs))
-        Some(t)
-      } else { skipped += "weak"; None }
-    // leftover-budget top-ups: both widths' headline numbers are MINIMA,
-    // so the weaker estimator is simply the width with fewer samples —
-    // top up whichever has fewer (the mandatory reps run the wide width
-    // twice, so this alternates starting narrow), regardless of where the
-    // current efficiency stands. Every observation lands in
-    // t_n_runs/t_4n_runs, so the sampling is fully visible.
+    val tWeakRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (remaining > weakEst) tWeakRuns += pipelineInChildJvm(n, weakConvs)
+    else skipped += "weak"
+    // leftover-budget top-ups: every reported number is a MINIMUM, so the
+    // weakest estimator is simply the series with the fewest samples — top
+    // up whichever of the three (narrow strong, wide strong, weak narrow)
+    // has fewest, regardless of where the current efficiency stands. Every
+    // observation lands in t_n_runs/t_4n_runs/weak.t_n_runs, so the
+    // sampling is fully visible. (The weak series joining the rotation
+    // matters for fairness: run 6 recorded a single-shot weak numerator
+    // against a min-of-4 denominator.)
     var topUps = 0
     var cont = true
     while (cont && topUps < 8) {
-      val narrowNext = tNRuns.length < t4NRuns.length
-      val est = if (narrowNext) 1.3 * tNRuns.min else 1.5 * t4NRuns.min
-      if (remaining > est) {
-        if (narrowNext) tNRuns += pipelineInChildJvm(n, scaleConvs)
-        else t4NRuns += pipelineInChildJvm(4 * n, scaleConvs)
-        topUps += 1
-      } else cont = false
+      val series: Seq[(Int, Double, () => Unit)] = Seq(
+        (tNRuns.length, 1.3 * tNRuns.min, () => { tNRuns += pipelineInChildJvm(n, scaleConvs); () }),
+        (t4NRuns.length, 1.5 * t4NRuns.min, () => { t4NRuns += pipelineInChildJvm(4 * n, scaleConvs); () })
+      ) ++ (if (tWeakRuns.nonEmpty)
+              Seq((tWeakRuns.length, 1.3 * tWeakRuns.min, () => { tWeakRuns += pipelineInChildJvm(n, weakConvs); () }))
+            else Seq.empty)
+      val (_, est, run) = series.minBy(_._1)
+      if (remaining > est) { run(); topUps += 1 } else cont = false
     }
+    deleteRecursively(inputDir(weakConvs))
     val tN = tNRuns.min
     val t4N = t4NRuns.min
     val efficiency = tN / (4.0 * t4N)
     // rendered against the FINAL wide-width min (top-ups after the weak
     // stage may have improved it; every t_4n observation is the same job
     // on the same corpus, so the min is the right denominator)
-    val weakJson: String = tWeakN match {
-      case Some(t) =>
-        f"""{"n":$n,"n4":${4 * n},"convs_n":$weakConvs,"convs_4n":$scaleConvs,"t_n_sec":$t%.3f,"t_4n_sec":$t4N%.3f,"efficiency":${t / t4N}%.3f}"""
-      case None => "null"
-    }
+    val weakJson: String =
+      if (tWeakRuns.nonEmpty) {
+        val t = tWeakRuns.min
+        val runs = tWeakRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
+        f"""{"n":$n,"n4":${4 * n},"convs_n":$weakConvs,"convs_4n":$scaleConvs,"t_n_runs":$runs,"t_n_sec":$t%.3f,"t_4n_sec":$t4N%.3f,"efficiency":${t / t4N}%.3f}"""
+      } else "null"
     deleteRecursively(inputDir(scaleConvs))
 
     val qs = (results :+ ("flagship_pipeline" -> tFlag))
