@@ -207,7 +207,7 @@ object Bench {
         val (ver, tVer) = timed(Dedup.verify(cand, sigs, cfg).localCheckpoint(true))
         val tCC = time { graft.operators.ConnectedComponents.assign(reps, ver).count(): Unit }
         System.err.println(f"PHASES cores=$cores sig=$tSig%.2f map=$tMap%.2f rep=$tRep%.2f cand=$tCand%.2f ver=$tVer%.2f cc=$tCC%.2f")
-        println(f"""PHASES_JSON={"sig":$tSig%.3f,"map":$tMap%.3f,"rep":$tRep%.3f,"cand":$tCand%.3f,"ver":$tVer%.3f,"cc":$tCC%.3f}""")
+        println(f"""PHASES_JSON={"sig":$tSig%.2f,"map":$tMap%.2f,"rep":$tRep%.2f,"cand":$tCand%.2f,"ver":$tVer%.2f,"cc":$tCC%.2f}""")
         println(f"PIPE_SEC=${tSig + tMap + tRep + tCand + tVer + tCC}%.3f")
       } else {
         // materialize the input as parquet first (untimed): the engine's
@@ -353,7 +353,7 @@ object Bench {
       if (remaining > controlEst + weakReserve) {
         val tC1 = pipelineInChildJvm(1, scaleConvs)
         val tC4 = pipelineInChildJvm(4, scaleConvs)
-        f"""{"n":1,"n4":4,"t_n_sec":$tC1%.3f,"t_4n_sec":$tC4%.3f,"efficiency":${tC1 / (4.0 * tC4)}%.3f}"""
+        f"""{"n":1,"n4":4,"t_n_sec":$tC1%.2f,"t_4n_sec":$tC4%.2f,"efficiency":${tC1 / (4.0 * tC4)}%.3f}"""
       } else { skipped += "control"; "null" }
     // WEAK scaling (Gustafson): N cores on D convs vs 4N cores on 4D convs —
     // the shape a growing cluster actually runs (data scales with executors;
@@ -395,19 +395,19 @@ object Bench {
     val weakJson: String =
       if (tWeakRuns.nonEmpty) {
         val t = tWeakRuns.min
-        val runs = tWeakRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
-        f"""{"n":$n,"n4":${4 * n},"convs_n":$weakConvs,"convs_4n":$scaleConvs,"t_n_runs":$runs,"t_n_sec":$t%.3f,"t_4n_sec":$t4N%.3f,"efficiency":${t / t4N}%.3f}"""
+        val runs = tWeakRuns.map(x => f"$x%.2f").mkString("[", ",", "]")
+        f"""{"n":$n,"n4":${4 * n},"convs_n":$weakConvs,"convs_4n":$scaleConvs,"t_n_runs":$runs,"t_n_sec":$t%.2f,"t_4n_sec":$t4N%.2f,"efficiency":${t / t4N}%.3f}"""
       } else "null"
     deleteRecursively(inputDir(scaleConvs))
 
     val qs = (results :+ ("flagship_pipeline" -> tFlag))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + tFlag
     val turnsPerSec = nTurns / tFlag
-    val nRunsJson = tNRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val n4RunsJson = t4NRuns.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val nRunsJson = tNRuns.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val n4RunsJson = t4NRuns.map(t => f"$t%.2f").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"bench_turns":$nTurns,"turns_per_sec":$turnsPerSec%.1f,"scaling":{"n":$n,"n4":${4 * n},"convs":$scaleConvs,"mem_available_gb":$availGb,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"skipped":$skippedJson,"t_n_runs":$nRunsJson,"t_4n_runs":$n4RunsJson,"t_n_sec":$tN%.3f,"t_4n_sec":$t4N%.3f,"efficiency":$efficiency%.3f,"control":$controlJson,"weak":$weakJson,"phases":$phasesJson}}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_convs":$nConvs,"bench_turns":$nTurns,"turns_per_sec":$turnsPerSec%.1f,"scaling":{"n":$n,"n4":${4 * n},"convs":$scaleConvs,"mem_available_gb":$availGb,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"skipped":$skippedJson,"t_n_runs":$nRunsJson,"t_4n_runs":$n4RunsJson,"t_n_sec":$tN%.2f,"t_4n_sec":$t4N%.2f,"efficiency":$efficiency%.3f,"control":$controlJson,"weak":$weakJson,"phases":$phasesJson}}""")
   }
 }

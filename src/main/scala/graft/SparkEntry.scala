@@ -127,6 +127,7 @@ object SparkEntry {
       TextAnalysis.tokenCounts(documentsDf(s, dir))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("n_alpha_tokens").cast("long").as("n_alpha_tokens"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
           col("n_chars").cast("long").as("n_chars"))),
 
     // ---- shingling (S3 sorted-set invariant; counts vs string oracle) ----
@@ -635,9 +636,10 @@ object SparkEntry {
           |       min(doc_id) AS canonical_id FROM u GROUP BY 1""".stripMargin,
 
       "q_token_count" ->
-        """SELECT doc_id,
+        s"""SELECT doc_id,
           |CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_tokens,
           |CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+          |CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePretokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
           |CAST(length(text) AS BIGINT) AS n_chars FROM documents""".stripMargin,
 
       "q_shingle_stats" ->

@@ -12,12 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace-token and alphanumeric-token counts. */
+  /** BPE-style pre-tokenizer pattern (the GPT-2 family's, minus the
+    * `\s+(?!\S)` lookahead branch, which RE2 — the DuckDB oracle's engine —
+    * does not support; for a token COUNT the lookahead split of trailing
+    * whitespace is irrelevant). Alternation order matters and is identical
+    * under Java regex and RE2 (both leftmost-first here): contractions,
+    * then letter runs, digit runs, punctuation runs (each with an optional
+    * leading space, as BPE vocabularies encode), then whitespace runs.
+    */
+  val BpePretokenPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Whitespace-token, alphanumeric-token, and BPE-pretoken counts. */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
       size(regexp_extract_all(col(textCol), lit("[a-zA-Z0-9]+"), lit(0))).as("n_tokens"),
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("n_alpha_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpePretokenPattern), lit(0))).as("n_bpe_tokens"),
       length(col(textCol)).as("n_chars")
     )
 

@@ -194,6 +194,13 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val tc = TextAnalysis.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     tc(1L) shouldBe 13
     tc(3L) shouldBe 1
+    // BPE pre-tokenizer: contractions split, punctuation runs separate,
+    // leading spaces fold into the following token
+    val bpeDocs = Seq((1L, "don't stop, world!!"), (2L, "x")).toDF("doc_id", "text")
+    val bpe = TextAnalysis.tokenCounts(bpeDocs).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    bpe(1L) shouldBe 6 // don | 't | ' stop' | , | ' world' | !!
+    bpe(2L) shouldBe 1
     val lang = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
     lang(1L) shouldBe "en"
     lang(2L) shouldBe "de"
