@@ -30,6 +30,11 @@ object Queries {
   final case class MinHashDedup(cfg: DedupConfig = DedupConfig()) extends DedupQuery { val corpus: CorpusKind = TextCorpus }
   /** SimHash/Hamming near-dup pipeline (≙ HammingLsh). */
   final case class SimHashDedup(cfg: DedupConfig = DedupConfig(), minSim: Double = 0.9) extends DedupQuery { val corpus: CorpusKind = TextCorpus }
+  /** Embedding-cosine near-dup pipeline (≙ CosineLsh re-grounded to the
+    * self-join dedup shape rather than knn).
+    */
+  final case class CosineDedup(theta: Double = 0.9, numTables: Int = 16,
+                               rowsPerBand: Int = 8) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** Exact brute-force knn (≙ NearestNeighborsQuery.Exact). */
   final case class ExactKnn(k: Int, queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** Hyperplane-LSH knn (≙ CosineLsh). */
@@ -94,6 +99,9 @@ object Queries {
           .withColumn("simhash_sim", hammingSim(col("fp_a"), col("fp_b")))
           .filter(col("simhash_sim") >= minSim)
           .select("id_a", "id_b", "simhash_sim")
+
+      case (CosineDedup(theta, l, r), _, _) =>
+        EmbeddingDedup.dupPairs(spark, corpus, theta, numTables = l, rowsPerBand = r)
 
       case (ExactKnn(k, qf), _, _) =>
         Knn.exactTopK(qf(corpus), corpus, k)

@@ -51,6 +51,25 @@ object SparkEntry {
     */
   private val embDims = 64
 
+  /** Embeddings corpus with 25 planted near-duplicates: for vec_id < 25 a
+    * copy at vec_id+10000 whose every component is perturbed by 5% of the
+    * cyclically-next component — deterministic float arithmetic
+    * (f64(x) + 0.05·f64(next) rounded back to f32) the DuckDB oracle
+    * reproduces bit-for-bit. Planted cosines land at ~0.9987 vs a maximum
+    * non-dup pair of ~0.51, so the 0.9 dedup threshold sits in a wide gap
+    * on both sides (no rounding-boundary hazard).
+    */
+  private def embedDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsDf(s, dir).select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") < 25).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") + lit(0.05) *
+          element_at(col("embedding"), ((i + 1) % size(col("embedding"))) + 1).cast("double"))
+          .cast("float")).as("embedding"))
+    e.unionByName(planted)
+  }
+
   /** Verified LSH dup pairs over documents, with numeric ids restored.
     * Signatures are materialized once: candidates and the verify payload
     * both consume them, and without the checkpoint the mapPartitions
@@ -195,6 +214,18 @@ object SparkEntry {
           round(Knn.l2DistCol("emb_a", "emb_b"), 6).as("l2_dist"),
           round(Knn.l1DistCol("emb_a", "emb_b"), 6).as("l1_dist"))
     }),
+
+    // ---- embedding-cosine near-dup dedup (CosineLsh in the self-join
+    //      dedup shape; routed through the Q1 AST dispatch; oracle =
+    //      exact all-pairs cosine ≥ θ over the planted-dup corpus) ----
+    "q_embed_dup_pairs" -> ((s, dir) =>
+      Queries.run(s, embedDupCorpus(s, dir), Queries.CosineDedup(theta = 0.9))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // near-dup clusters over the same corpus (CC over verified pairs;
+    // every vector labeled, min member id canonical)
+    "q_embed_clusters" -> ((s, dir) =>
+      EmbeddingDedup.clusters(s, embedDupCorpus(s, dir), theta = 0.9)),
 
     // ---- language ID heuristic ----
     "q_lang_id" -> ((s, dir) =>
@@ -547,6 +578,19 @@ object SparkEntry {
     // kernel-regenerating CTE chain over the documents table (ends in sigb)
     val sigb = DuckSql.sigCtes(docCfg, "documents")
 
+    // embeddings ∪ 25 planted near-dups — the exact float arithmetic of
+    // embedDupCorpus: f32(f64(x) + 0.05·f64(cyclically-next)), bit-identical
+    // between Spark and DuckDB (one f64 multiply + add + IEEE f32 round)
+    val embedDupCorpusCte =
+      """corpus AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS BIGINT) + 10000,
+        |         list_transform(range(1, len(embedding) + 1),
+        |           i -> CAST(embedding[i]::DOUBLE
+        |                     + 0.05 * embedding[(i % len(embedding)) + 1]::DOUBLE AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 25)""".stripMargin
+
     // shared exact-cosine top-5 (q_knn_cosine green pattern; also the
     // empirical oracle for the LSH/IVF ANN paths at this recall point)
     val exactCosineTop5 =
@@ -749,6 +793,42 @@ object SparkEntry {
           |               * (pr[1]::DOUBLE - pr[2]::DOUBLE))), 6) AS l2_dist,
           |  round(SUM(abs(pr[1]::DOUBLE - pr[2]::DOUBLE)), 6) AS l1_dist
           |FROM z GROUP BY 1, 2""".stripMargin,
+
+      // embedding near-dup: exact all-pairs cosine ≥ 0.9 over the corpus
+      // with 25 planted perturbed copies (LSH at L=16/r=8 provably covers
+      // the planted pairs — per-band hit p≈0.89, 16 independent bands;
+      // exact re-score gives precision 1.0, so LSH pairs ≡ exact pairs)
+      "q_embed_dup_pairs" ->
+        s"""WITH $embedDupCorpusCte,
+           |z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |             unnest(list_zip(a.embedding, b.embedding)) AS pr
+           |      FROM corpus a, corpus b WHERE a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b,
+           |        SUM(pr[1]::DOUBLE * pr[2]::DOUBLE)
+           |          / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE)
+           |                 * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE)) AS sim
+           |      FROM z GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(sim, 6) AS cosine FROM s WHERE sim >= 0.9""".stripMargin,
+
+      // clusters over the same pairs: planted rows pair only with their
+      // source (every pair is (v, v+10000)), so min-member components are
+      // derivable without a recursive CTE
+      "q_embed_clusters" ->
+        s"""WITH $embedDupCorpusCte,
+           |z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |             unnest(list_zip(a.embedding, b.embedding)) AS pr
+           |      FROM corpus a, corpus b WHERE a.vec_id < b.vec_id),
+           |s AS (SELECT id_a, id_b,
+           |        SUM(pr[1]::DOUBLE * pr[2]::DOUBLE)
+           |          / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE)
+           |                 * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE)) AS sim
+           |      FROM z GROUP BY 1, 2),
+           |e AS (SELECT id_a, id_b FROM s WHERE sim >= 0.9),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e)
+           |SELECT c.vec_id, CAST(coalesce(m.cluster_id, c.vec_id) AS BIGINT) AS cluster_id
+           |FROM corpus c LEFT JOIN (
+           |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM sym GROUP BY a) m
+           |USING (vec_id)""".stripMargin,
 
       "q_lang_id" ->
         """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

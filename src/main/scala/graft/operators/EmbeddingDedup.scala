@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.DedupConfig
+import graft.kernels.CosineLshModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate detection — the dense-vector sibling of
+  * the MinHash/Jaccard text pipeline: the reference's CosineLsh scheme
+  * (`/root/reference/elastiknn-models/src/main/java/com/klibisz/elastiknn/models/CosineLshModel.java:26-52`)
+  * applied to the *self-join dedup* read shape instead of the knn shape.
+  *
+  * Pipeline: hyperplane band hashes per vector → the skew-safe streaming
+  * bucket scan of [[CandidatePairs]] (hot buckets take the salted block
+  * decomposition — a near-dup-dense embedding corpus concentrates whole
+  * clusters into single buckets, exactly the skew case that machinery
+  * exists for) → exact-cosine re-score of candidates (precision 1.0 by
+  * construction; recall is the LSH operating point, pinned by test).
+  *
+  * Scale shape (100 TB): the bands exchange carries (id, band) only; the
+  * verify joins re-attach the embedding payload per side keyed by id, so
+  * payload bytes move in proportion to candidate density, never corpus².
+  */
+object EmbeddingDedup {
+
+  /** Hyperplane-LSH band signatures (vec_id, bands: Array[Long]) — the
+    * model is hoisted once per partition (plane table is numTables ×
+    * rowsPerBand × dims floats, built from the seed, never shuffled).
+    */
+  def bandSignatures(spark: SparkSession, emb: DataFrame, numTables: Int, rowsPerBand: Int,
+                     seed: Long = 0L, dims: Int = -1): DataFrame = {
+    import spark.implicits._
+    val d = if (dims > 0) dims else emb.select(size(col("embedding"))).first().getInt(0)
+    emb.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val model = new CosineLshModel(d, numTables, rowsPerBand, seed)
+        iter.map { case (id, e) => (id, model.hash(e)) }
+      }
+      .toDF("vec_id", "bands")
+  }
+
+  /** Near-dup pairs (id_a < id_b, exact cosine ≥ theta). One shared band
+    * suffices for candidacy (recall-first; the exact re-score makes the
+    * threshold decision).
+    */
+  def dupPairs(spark: SparkSession, emb: DataFrame, theta: Double,
+               numTables: Int = 16, rowsPerBand: Int = 8, seed: Long = 0L,
+               dims: Int = -1, bucketCap: Int = 512): DataFrame = {
+    // zero-padded string ids: CandidatePairs' binary-UTF8 pair order then
+    // equals the numeric order, so id_a < id_b survives the cast back
+    val sigs = bandSignatures(spark, emb, numTables, rowsPerBand, seed, dims)
+      .select(lpad(col("vec_id").cast("string"), 12, "0").as("conv_id"), col("bands"))
+    val cfg = DedupConfig(numTables = numTables, rowsPerBand = rowsPerBand,
+      seed = seed, minBands = 1, bucketCap = bucketCap)
+    val cand = CandidatePairs.candidatePairs(sigs, cfg)
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+    val a = emb.select(col("vec_id").cast("long").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").cast("long").as("id_b"), col("embedding").as("emb_b"))
+    cand
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      .withColumn("cosine", Knn.cosineCol("emb_a", "emb_b"))
+      .filter(col("cosine") >= theta)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Every vector labeled with its near-dup cluster (min member id), via
+    * the same connected-components used by the text pipeline.
+    */
+  def clusters(spark: SparkSession, emb: DataFrame, theta: Double,
+               numTables: Int = 16, rowsPerBand: Int = 8, seed: Long = 0L,
+               dims: Int = -1, bucketCap: Int = 512): DataFrame = {
+    val pairs = dupPairs(spark, emb, theta, numTables, rowsPerBand, seed, dims, bucketCap)
+      .select(lpad(col("id_a").cast("string"), 12, "0").as("id_a"),
+        lpad(col("id_b").cast("string"), 12, "0").as("id_b"))
+    val all = emb.select(lpad(col("vec_id").cast("string"), 12, "0").as("conv_id"))
+    ConnectedComponents.assign(all, pairs)
+      .select(col("conv_id").cast("long").as("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+  }
+}

@@ -76,6 +76,53 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     withClue(s"recall=$recall: ") { recall should be >= 0.8 }
   }
 
+  test("embedding-cosine dedup equals the exact all-pairs oracle (recall & precision 1.0), both bucket paths") {
+    val s = spark
+    import s.implicits._
+    // synthetic corpus: 80 gaussian base vectors + planted near-dups —
+    // a scaled copy (cosine exactly ~1), a perturbed copy, and a 3-chain
+    // (base → pert → pert²) so the cluster test exercises transitivity
+    val rng = new java.util.Random(7L)
+    val base = Array.fill(80)(Array.fill(24)(rng.nextGaussian().toFloat))
+    def perturb(v: Array[Float], eps: Float): Array[Float] =
+      v.indices.map(i => v(i) + eps * v((i + 1) % v.length)).toArray
+    val rows =
+      base.indices.map(i => (i.toLong, base(i))) ++
+        Seq(
+          (1000L, base(0).map(_ * 1.5f)),          // dup of 0 (scale-invariant)
+          (1001L, perturb(base(1), 0.04f)),        // near-dup of 1
+          (1002L, perturb(perturb(base(2), 0.04f), 0.04f)), // chain: 2–?–1003
+          (1003L, perturb(base(2), 0.04f)))
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val theta = 0.97
+    val exact = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Knn.cosineColC(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= theta)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.size should be >= 4 // planted pairs present (incl. the chain hop)
+
+    for (cap <- Seq(512, 3)) { // 3 forces the salted block path
+      val got = EmbeddingDedup.dupPairs(s, emb, theta,
+        numTables = 24, rowsPerBand = 8, bucketCap = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"cap=$cap: ") { got shouldBe exact }
+    }
+
+    // clusters: transitive closure of the pairs, min member id canonical
+    val clusters = EmbeddingDedup.clusters(s, emb, theta, numTables = 24, rowsPerBand = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters.size shouldBe rows.size
+    clusters(1000L) shouldBe 0L
+    clusters(1001L) shouldBe 1L
+    clusters(2L) shouldBe 2L
+    clusters(1002L) shouldBe 2L // transitive: reachable through 1003
+    clusters(1003L) shouldBe 2L
+    clusters(50L) shouldBe 50L // singleton
+  }
+
   test("IVF ANN returns k ranked neighbors per query with decent recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 30)
