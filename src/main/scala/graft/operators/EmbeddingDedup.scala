@@ -42,6 +42,16 @@ object EmbeddingDedup {
   /** Near-dup pairs (id_a < id_b, exact cosine ≥ theta). One shared band
     * suffices for candidacy (recall-first; the exact re-score makes the
     * threshold decision).
+    *
+    * Verify shape (same discipline as the MinHash `VerifyPairs` path —
+    * ONE payload-carrying exchange): the corpus is reduced to candidate
+    * members via a broadcast-distinct-id semi-join (no payload moves, the
+    * id set is ~8 B/row), join 1 streams the member embeddings against
+    * the BROADCAST pair list (no exchange), and join 2 — the only
+    * embedding-carrying exchange — meets the join-1 output and the member
+    * payload in a shuffled hash join on id_b. Without the explicit hints,
+    * checkpoint-derived size estimates would shuffle the FULL corpus
+    * embedding column on vec_id.
     */
   def dupPairs(spark: SparkSession, emb: DataFrame, theta: Double,
                numTables: Int = 16, rowsPerBand: Int = 8, seed: Long = 0L,
@@ -54,11 +64,17 @@ object EmbeddingDedup {
       seed = seed, minBands = 1, bucketCap = bucketCap)
     val cand = CandidatePairs.candidatePairs(sigs, cfg)
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
-    val a = emb.select(col("vec_id").cast("long").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").cast("long").as("id_b"), col("embedding").as("emb_b"))
-    cand
-      .join(a, Seq("id_a"))
-      .join(b, Seq("id_b"))
+      .localCheckpoint(true)
+    val ids = cand.select(col("id_a").as("vec_id"))
+      .unionByName(cand.select(col("id_b").as("vec_id")))
+    val members = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(ids.distinct()), Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    val memberA = members.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val memberB = members.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    memberA.join(broadcast(cand), Seq("id_a"))
+      .hint("shuffle_hash")
+      .join(memberB, Seq("id_b"))
       .withColumn("cosine", Knn.cosineCol("emb_a", "emb_b"))
       .filter(col("cosine") >= theta)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -94,6 +94,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     exchanges.foreach(b => b should not include "shingles")
   }
 
+  test("embedding dedup: no cartesian; band/candidate exchanges carry no embedding payload") {
+    val p = plan("q_embed_dup_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // candidate generation moves (id, band) / (id_a, id_b) rows only — any
+    // exchange that carries a band must not carry the embedding column; the
+    // member-reduced verify join is the only place embeddings may move, and
+    // the pair list reaches it broadcast (no full-corpus vec_id shuffle)
+    val blocks = p.split("\\n\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(b => b.startsWith("Exchange") || b.startsWith("AQEShuffleRead"))
+    exchanges should not be empty
+    exchanges.filter(_.contains("band")).foreach(b => b should not include "embedding")
+    blocks.filter(_.startsWith("BroadcastExchange")).foreach(b => b should not include "embedding")
+  }
+
   test("the flagship pipeline contains no CartesianProduct or BroadcastNestedLoopJoin") {
     val df = Dedup.pipeline(spark, graft.sources.TranscriptGen.df(spark, 100L), DedupConfig())
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
