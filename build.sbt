@@ -32,13 +32,18 @@ val jdk17AddOpens = Seq(
 // committed lazily, and the bench's measured pipeline runs happen in child
 // JVMs that manage their own (per-core-scaled, lazily grown) heaps.
 val forkHeapGb: Int = {
+  // accepts every spelling -Xmx does: t/g/m/k suffix, or a plain number
+  // of BYTES (a suffix-less JVM memory operand is bytes — treating it as
+  // GB would Int-wrap and clamp a 16 GiB request to the 4g floor)
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").trim.toLowerCase
   val gb = scala.util.Try {
-    if (req.endsWith("m")) req.dropRight(1).toDouble / 1024.0
+    if (req.endsWith("t")) req.dropRight(1).toDouble * 1024.0
+    else if (req.endsWith("g")) req.dropRight(1).toDouble
+    else if (req.endsWith("m")) req.dropRight(1).toDouble / 1024.0
     else if (req.endsWith("k")) req.dropRight(1).toDouble / (1024.0 * 1024.0)
-    else req.stripSuffix("g").toDouble
+    else req.toDouble / (1024.0 * 1024.0 * 1024.0)
   }.getOrElse(16.0)
-  math.max(4, math.min(24, gb.round.toInt))
+  math.max(4, math.min(24.0, gb.ceil).toInt)
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -24,9 +24,11 @@ import org.apache.spark.sql.SparkSession
   * Memory protocol (the round-3 bench was OOM-killed with zero recorded
   * numbers; everything below exists so that cannot recur):
   *   - scratch (tmpfs) is wiped at startup — stale corpora are resident RAM;
-  *   - child JVMs get lazily-committed heaps (no -Xms / AlwaysPreTouch);
-  *   - a pre-flight MemAvailable check degrades (smaller scaling corpus,
-  *     /tmp scratch) instead of dying;
+  *   - the OUTER JVM heap is capped at 24g and lazily committed
+  *     (build.sbt); child JVMs pre-touch their fixed 3g/core heaps but
+  *     run one at a time, largest committing 24g;
+  *   - a pre-flight MemAvailable check degrades (smaller scaling corpus)
+  *     instead of dying;
   *   - scaling corpora are deleted as soon as their phase completes.
   */
 object Bench {
@@ -34,8 +36,8 @@ object Bench {
   /** tmpfs scratch when available: shuffle files and the bench input live
     * in RAM, standing in for cluster-local NVMe — this sandbox's virtual
     * disk has multi-second latency swings that would otherwise dominate
-    * the measurement. Overridable (and passed to child JVMs) so the
-    * pre-flight check can degrade to /tmp under memory pressure.
+    * the measurement. Overridable via SPARK_GRAFT_SCRATCH (and passed to
+    * child JVMs) for hosts without tmpfs headroom.
     */
   private val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-bench"
@@ -174,7 +176,7 @@ object Bench {
   }
 
   /** One per-phase breakdown run; returns the JSON object the child printed
-    * ({"sig":…,"map":…,"rep":…,"candver":…,"cc":…}) so the recorded bench
+    * ({"sig":…,"map":…,"rep":…,"cand":…,"ver":…,"cc":…}) so the recorded bench
     * artifact attributes the efficiency number by stage.
     */
   private def phasesInChildJvm(cores: Int, nConvs: Long): String = {
@@ -278,9 +280,11 @@ object Bench {
     val weakConvs = scaleConvs / 4
     writeInput(spark, weakConvs)
     spark.stop()
-    // tmpfs pages back before the scaling children start (unless the smoke
-    // config makes the flagship and scaling corpora the same table)
-    if (flagDir != inputDir(scaleConvs)) deleteRecursively(flagDir)
+    // tmpfs pages back before the scaling children start (unless a smoke
+    // config makes the flagship corpus coincide with a scaling one — the
+    // weak guard matters whenever nConvs == scaleConvs/4)
+    if (flagDir != inputDir(scaleConvs) && flagDir != inputDir(weakConvs))
+      deleteRecursively(flagDir)
 
     // ---- phase 2: scaling local[N] vs local[4N] on identical input ----
     // N is chosen so 4N sits inside the host's linear-throughput envelope:

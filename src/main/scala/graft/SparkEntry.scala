@@ -52,7 +52,7 @@ object SparkEntry {
   private val embDims = 64
 
   /** Embeddings corpus with 25 planted near-duplicates: for vec_id < 25 a
-    * copy at vec_id+10000 whose every component is perturbed by 5% of the
+    * copy at vec_id+10000000 whose every component is perturbed by 5% of the
     * cyclically-next component — deterministic float arithmetic
     * (f64(x) + 0.05·f64(next) rounded back to f32) the DuckDB oracle
     * reproduces bit-for-bit. Planted cosines land at ~0.9987 vs a maximum
@@ -62,7 +62,7 @@ object SparkEntry {
   private def embedDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = embeddingsDf(s, dir).select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val planted = e.filter(col("vec_id") < 25).select(
-      (col("vec_id") + 10000).as("vec_id"),
+      (col("vec_id") + 10000000L).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         (x.cast("double") + lit(0.05) *
           element_at(col("embedding"), ((i + 1) % size(col("embedding"))) + 1).cast("double"))
@@ -585,7 +585,7 @@ object SparkEntry {
       """corpus AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT CAST(vec_id AS BIGINT) + 10000,
+        |  SELECT CAST(vec_id AS BIGINT) + 10000000,
         |         list_transform(range(1, len(embedding) + 1),
         |           i -> CAST(embedding[i]::DOUBLE
         |                     + 0.05 * embedding[(i % len(embedding)) + 1]::DOUBLE AS FLOAT))
@@ -811,7 +811,7 @@ object SparkEntry {
            |SELECT id_a, id_b, round(sim, 6) AS cosine FROM s WHERE sim >= 0.9""".stripMargin,
 
       // clusters over the same pairs: planted rows pair only with their
-      // source (every pair is (v, v+10000)), so min-member components are
+      // source (every pair is (v, v+10000000)), so min-member components are
       // derivable without a recursive CTE
       "q_embed_clusters" ->
         s"""WITH $embedDupCorpusCte,

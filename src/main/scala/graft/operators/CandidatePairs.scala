@@ -71,18 +71,34 @@ object CandidatePairs {
           private var pending: Iterator[BucketOut] = Iterator.empty
           private var head: Option[(Long, String)] = None
 
+          // code-point "<" ≡ Spark UTF8String binary order — the SAME
+          // orientation the hot-bucket path's least/greatest produces.
+          // (java.lang.String "<" compares UTF-16 code units, which
+          // disagrees with byte order between supplementary-plane chars
+          // and [U+E000, U+FFFF]; a pair straddling a small and a hot
+          // bucket would then reach the hit-count groupBy as two keys.)
+          private def cpLt(a: String, b: String): Boolean = {
+            var i = 0
+            while (i < a.length && i < b.length) {
+              val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+              if (ca != cb) return ca < cb
+              i += Character.charCount(ca)
+            }
+            a.length < b.length
+          }
+
           private def pairsOf(band: Long, ids: Array[String]): Iterator[BucketOut] =
             if (ids.length < 2) Iterator.empty
-            else for {
+            else (for {
               i <- ids.indices.iterator
               j <- (i + 1 until ids.length).iterator
+              // x == y guards duplicate ids in one bucket: the join shape
+              // this scan replaced excluded self-pairs via strict "<"
+              if ids(i) != ids(j)
             } yield {
               val x = ids(i); val y = ids(j)
-              // same binary-UTF8 "<" the join filter used: Spark's UTF8String
-              // ordering equals java.lang.String ordering for the ASCII ids
-              // this engine generates AND for any UTF-8 text by byte order
-              (if (x < y) (x, y, null) else (y, x, null)): BucketOut
-            }
+              (if (cpLt(x, y)) (x, y, null) else (y, x, null)): BucketOut
+            }): Iterator[BucketOut]
 
           private def flushRun(): Iterator[BucketOut] = {
             val out =

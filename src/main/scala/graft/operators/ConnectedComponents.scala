@@ -97,16 +97,20 @@ object ConnectedComponents {
     * @param maxIter safety bound (log₂ of the largest component diameter;
     *                32 covers anything representable)
     * @param driverGate max edges for the driver union-find fast path
-    *                   (0 disables — always distributed)
+    *                   (0 disables — always distributed; an EXPLICIT value
+    *                   always wins over the spark-conf override, which
+    *                   only replaces the default)
     * @return (conv_id, cluster_id) for every vertex that appears in an edge
     */
-  def components(edges: DataFrame, maxIter: Int = 32, driverGate: Int = DriverEdgeGate): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 32, driverGate: Int = -1): DataFrame = {
     // ---- fast path: bounded collect + exact union-find (string ids) ----
     val idFieldsAreStrings = Seq("id_a", "id_b").forall(n =>
       edges.schema.fields.exists(f =>
         f.name == n && f.dataType == org.apache.spark.sql.types.StringType))
     val spark = edges.sparkSession
-    val gate = spark.conf.get(EdgeGateConfKey, driverGate.toString).toInt
+    val gate =
+      if (driverGate >= 0) driverGate // caller's choice, incl. 0 = disable
+      else spark.conf.get(EdgeGateConfKey, DriverEdgeGate.toString).toInt
     if (gate > 0 && idFieldsAreStrings) {
       // Materialize the (narrow) edge columns once: the size probe is then a
       // free scan of in-memory blocks, the collect below reads the same
@@ -191,7 +195,7 @@ object ConnectedComponents {
     * @param allIds DataFrame with a `conv_id` column covering the corpus
     */
   def assign(allIds: DataFrame, edges: DataFrame, maxIter: Int = 32,
-             driverGate: Int = DriverEdgeGate): DataFrame = {
+             driverGate: Int = -1): DataFrame = {
     val comp = components(edges, maxIter, driverGate)
     allIds
       .select(col("conv_id"))

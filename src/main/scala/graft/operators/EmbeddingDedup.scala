@@ -56,10 +56,19 @@ object EmbeddingDedup {
   def dupPairs(spark: SparkSession, emb: DataFrame, theta: Double,
                numTables: Int = 16, rowsPerBand: Int = 8, seed: Long = 0L,
                dims: Int = -1, bucketCap: Int = 512): DataFrame = {
-    // zero-padded string ids: CandidatePairs' binary-UTF8 pair order then
-    // equals the numeric order, so id_a < id_b survives the cast back
+    if (dims <= 0 && emb.select(col("embedding")).head(1).isEmpty)
+      // degrade like every other operator: empty corpus → empty result
+      // (the dims probe below would otherwise throw on .first())
+      return emb.sparkSession.emptyDataFrame
+        .withColumn("id_a", lit(0L)).withColumn("id_b", lit(0L))
+        .withColumn("cosine", lit(0.0)).limit(0)
+    // zero-padded string ids (19 digits covers every non-negative Long):
+    // CandidatePairs' binary-UTF8 pair order then equals the numeric
+    // order, so id_a < id_b survives the cast back. Negative vec_ids
+    // would break that invariant ('-' sorts above digits) — the id
+    // contract is non-negative, same as the testdata and oracle.
     val sigs = bandSignatures(spark, emb, numTables, rowsPerBand, seed, dims)
-      .select(lpad(col("vec_id").cast("string"), 12, "0").as("conv_id"), col("bands"))
+      .select(lpad(col("vec_id").cast("string"), 19, "0").as("conv_id"), col("bands"))
     val cfg = DedupConfig(numTables = numTables, rowsPerBand = rowsPerBand,
       seed = seed, minBands = 1, bucketCap = bucketCap)
     val cand = CandidatePairs.candidatePairs(sigs, cfg)
@@ -87,9 +96,9 @@ object EmbeddingDedup {
                numTables: Int = 16, rowsPerBand: Int = 8, seed: Long = 0L,
                dims: Int = -1, bucketCap: Int = 512): DataFrame = {
     val pairs = dupPairs(spark, emb, theta, numTables, rowsPerBand, seed, dims, bucketCap)
-      .select(lpad(col("id_a").cast("string"), 12, "0").as("id_a"),
-        lpad(col("id_b").cast("string"), 12, "0").as("id_b"))
-    val all = emb.select(lpad(col("vec_id").cast("string"), 12, "0").as("conv_id"))
+      .select(lpad(col("id_a").cast("string"), 19, "0").as("id_a"),
+        lpad(col("id_b").cast("string"), 19, "0").as("id_b"))
+    val all = emb.select(lpad(col("vec_id").cast("string"), 19, "0").as("conv_id"))
     ConnectedComponents.assign(all, pairs)
       .select(col("conv_id").cast("long").as("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
   }

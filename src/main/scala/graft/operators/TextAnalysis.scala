@@ -19,9 +19,12 @@ object TextAnalysis {
     * under Java regex and RE2 (both leftmost-first here): contractions,
     * then letter runs, digit runs, punctuation runs (each with an optional
     * leading space, as BPE vocabularies encode), then whitespace runs.
+    * Whitespace is the EXPLICIT class [ \t\n\x0B\f\r], not `\s`: Java's
+    * `\s` includes vertical tab where RE2's does not, and the same literal
+    * class is the one spelling both engines read identically.
     */
   val BpePretokenPattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+"""
 
   /** Whitespace-token, alphanumeric-token, and BPE-pretoken counts. */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

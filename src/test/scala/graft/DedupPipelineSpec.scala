@@ -185,6 +185,12 @@ class DedupPipelineSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     try {
       ConnectedComponents.components(edges)
         .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe expectDist
+      // …but an EXPLICIT call-site gate always wins over the conf: a
+      // caller that opted out (0 = always distributed) must stay opted
+      // out even when the deployment conf re-enables a large gate
+      spark.conf.set(ConnectedComponents.EdgeGateConfKey, "5000000")
+      ConnectedComponents.components(edges, driverGate = 0)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe expectDist
     } finally spark.conf.unset(ConnectedComponents.EdgeGateConfKey)
     // sizing sanity: the full 5M-row gate of short ids fits a 16g driver's
     // fifth but NOT a 4g driver's (the round-3 bug: the row gate alone

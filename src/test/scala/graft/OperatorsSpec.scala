@@ -52,6 +52,28 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     sal shouldBe d // identical pairs AND identical matching-band counts
   }
 
+  test("duplicate ids in a bucket emit no self-pairs; non-ASCII ids orient by UTF-8 byte order") {
+    val s = spark
+    import s.implicits._
+    // "😀" (😀, U+1F600) vs "�": Java String order puts the
+    // surrogate (0xD83D) first, UTF-8 byte order the opposite — the pair
+    // must come out in byte order from BOTH the small-bucket scan and the
+    // salted path so hit-counting sees one key.
+    val smiley = "😀"; val repl = "�"
+    val sigs = Seq(
+      ("dup", Array(1L, 1L)),   // same id twice in bucket 1 (ragged input)
+      (smiley, Array(2L, 3L)),
+      (repl, Array(2L, 3L))
+    ).toDF("conv_id", "bands")
+    for (cap <- Seq(100, 1)) { // 1 forces every bucket down the salted path
+      val got = CandidatePairs.candidatePairs(sigs, DedupConfig(minBands = 1, bucketCap = cap))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      withClue(s"bucketCap=$cap: ") {
+        got shouldBe Set((repl, smiley, 2)) // byte order; no ("dup","dup")
+      }
+    }
+  }
+
   test("candidate threshold (minBands) filters by matching-band count") {
     val s = spark
     import s.implicits._
