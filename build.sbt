@@ -36,6 +36,7 @@ val forkHeapGb: Int = {
   // of BYTES (a suffix-less JVM memory operand is bytes — treating it as
   // GB would Int-wrap and clamp a 16 GiB request to the 4g floor)
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").trim.toLowerCase
+  val suffixless = req.nonEmpty && !"tgmk".contains(req.last)
   val gb = scala.util.Try {
     if (req.endsWith("t")) req.dropRight(1).toDouble * 1024.0
     else if (req.endsWith("g")) req.dropRight(1).toDouble
@@ -43,6 +44,13 @@ val forkHeapGb: Int = {
     else if (req.endsWith("k")) req.dropRight(1).toDouble / (1024.0 * 1024.0)
     else req.toDouble / (1024.0 * 1024.0 * 1024.0)
   }.getOrElse(16.0)
+  // a suffix-less value like "16" means 16 BYTES (JVM memory-operand
+  // semantics), which lands on the 4g floor — almost certainly the caller
+  // meant "16g"; warn loudly instead of silently under-provisioning
+  if (suffixless && gb < 4.0)
+    System.err.println(
+      s"[build.sbt] SPARK_DRIVER_MEM='$req' is suffix-less and therefore BYTES " +
+        f"(= $gb%.2g GiB) — clamping to the 4g floor. If you meant gigabytes, pass '${req}g'.")
   math.max(4, math.min(24.0, gb.ceil).toInt)
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -263,13 +263,18 @@ object Bench {
     warmup(spark)
     val flagDir = writeInput(spark, nConvs)
     val nTurns = spark.read.parquet(flagDir).count()
-    // best-of-2: the host's co-tenant noise epochs last minutes, so one
-    // observation of a ~25 s job can read 50% slow (run 7 measured 33.9 s
-    // where the scaling stage timed the same pipeline at 8 cores doing 6×
-    // the convs in 70.9 s); the second run costs ~30 s of the budget and
-    // both observations land in the artifact (flagship_runs)
-    val tFlagRuns = Seq.fill(2)(
-      time { Dedup.pipeline(spark, spark.read.parquet(flagDir), cfg).count(); () })
+    // best-of-2, plus a third run gated on spread: the host's co-tenant
+    // noise epochs last minutes, so BOTH of two ~25 s observations can land
+    // inside one bad epoch (r04 recorded [101.0, 47.7] — 2.1× spread — while
+    // its own scaling stage ran the same pipeline over 6× the convs in
+    // 74.5 s). When the two runs disagree by >30% the measurement is
+    // epoch-dominated and a third ~30 s observation is cheap insurance; all
+    // observations land in the artifact (flagship_runs).
+    val tFlagRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def flagRun(): Unit =
+      tFlagRuns += time { Dedup.pipeline(spark, spark.read.parquet(flagDir), cfg).count(); () }
+    flagRun(); flagRun()
+    if (tFlagRuns.max / tFlagRuns.min > 1.3) flagRun()
     val tFlag = tFlagRuns.min
     // pre-generate the scaling corpora at full width (untimed) — generating
     // them inside the first 2-core child would cost minutes of serial wall.
@@ -343,9 +348,26 @@ object Bench {
     // width; control ≈ 1-core ≈ 2.1× the 2-core min + 4-core ≈ wide min)
     def phasesEst: Double = 1.2 * (tNRuns.min + t4NRuns.min)
     def controlEst: Double = 2.1 * tNRuns.min + 1.3 * t4NRuns.min
-    def weakReserve: Double = 0.4 * tNRuns.min + 10
+    // WEAK scaling (Gustafson): N cores on D convs vs 4N cores on 4D convs —
+    // the shape a growing cluster actually runs (data scales with executors;
+    // per-executor partition sizes stay constant). The 4N-on-4D measurement
+    // IS the strong pair's wide width (same job, same corpus), so this stage
+    // costs only narrow runs on the quarter corpus. Ideal weak scaling has
+    // T_N(D) = T_4N(4D); efficiency = T_N(D) / T_4N(4D).
+    // Runs IMMEDIATELY after the mandatory rep, with its numerator
+    // REPLICATED (two runs), before any optional stage can drain the
+    // budget: r04 spent the budget on extra strong reps and recorded a
+    // single-shot weak numerator of 0.704 — the exact min-of-1-vs-min-of-2
+    // bias BASELINE.md documents — where a second ~50 s run was all it
+    // needed. A weak run costs ~1/8th of a strong rep.
+    def weakEst: Double = 0.4 * tNRuns.min + 10
+    val tWeakRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (tWeakRuns.length < 2 && remaining > weakEst + 10)
+      tWeakRuns += pipelineInChildJvm(n, weakConvs)
+    if (tWeakRuns.isEmpty) skipped += "weak"
+    else if (tWeakRuns.length == 1) skipped += "weak_single_run"
     var reps = 1
-    while (reps < maxReps && remaining > repCost + phasesEst + controlEst + weakReserve) {
+    while (reps < maxReps && remaining > repCost + phasesEst + controlEst) {
       repCost = (repCost + runRep()) / 2 // smoothed
       reps += 1
     }
@@ -353,26 +375,11 @@ object Bench {
     // per-phase breakdown at both widths (one extra run each) so the
     // efficiency number is attributable from the recorded artifact alone
     val phasesJson: String =
-      if (remaining > phasesEst + controlEst + weakReserve) {
+      if (remaining > phasesEst + controlEst) {
         val pN = phasesInChildJvm(n, scaleConvs)
         val p4N = phasesInChildJvm(4 * n, scaleConvs)
         s"""{"n":$pN,"n4":$p4N}"""
       } else { skipped += "phases"; "null" }
-    // WEAK scaling (Gustafson): N cores on D convs vs 4N cores on 4D convs —
-    // the shape a growing cluster actually runs (data scales with executors;
-    // per-executor partition sizes stay constant). The 4N-on-4D measurement
-    // IS the strong pair's wide width (same job, same corpus), so this stage
-    // costs one extra narrow run on the quarter corpus. Ideal weak scaling
-    // has T_N(D) = T_4N(4D); efficiency = T_N(D) / T_4N(4D).
-    // Runs BEFORE the control: it is a reported criterion (the north rule's
-    // cluster-growth shape) where the control is diagnostic, and it costs
-    // ~1/7th as much — a tight budget must drop the control, not this
-    // (run 9 recorded the opposite order and lost the weak number to a
-    // 663 s control pair).
-    def weakEst: Double = 0.4 * tNRuns.min + 10
-    val tWeakRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
-    if (remaining > weakEst + 10) tWeakRuns += pipelineInChildJvm(n, weakConvs)
-    else skipped += "weak"
     // 1→4 control pair on the SAME corpus: the narrow width of the strict
     // 2→8 pair shares one memory controller across 2 cores, so part of the
     // measured sub-linearity is the host's bandwidth ceiling rather than
@@ -401,8 +408,15 @@ object Bench {
       ) ++ (if (tWeakRuns.nonEmpty)
               Seq((tWeakRuns.length, 1.3 * tWeakRuns.min, () => { tWeakRuns += pipelineInChildJvm(n, weakConvs); () }))
             else Seq.empty)
-      val (_, est, run) = series.minBy(_._1)
-      if (remaining > est) { run(); topUps += 1 } else cont = false
+      // fewest-samples first, but fall back to the cheapest series that
+      // still fits: when the least-sampled series (often a wide strong run)
+      // no longer fits the remaining budget, a weak-width run (~1/6 the
+      // cost) frequently still does — exiting early left budget unused
+      val fitting = series.sortBy(_._1).find { case (_, est, _) => remaining > est }
+      fitting match {
+        case Some((_, _, run)) => run(); topUps += 1
+        case None              => cont = false
+      }
     }
     deleteRecursively(inputDir(weakConvs))
     val tN = tNRuns.min

@@ -28,24 +28,41 @@ object Queries {
   final case class ExactDedup() extends DedupQuery { val corpus: CorpusKind = TextCorpus }
   /** MinHash/Jaccard near-dup pipeline (≙ NearestNeighborsQuery.JaccardLsh). */
   final case class MinHashDedup(cfg: DedupConfig = DedupConfig()) extends DedupQuery { val corpus: CorpusKind = TextCorpus }
-  /** SimHash/Hamming near-dup pipeline (≙ HammingLsh). */
+  /** SimHash/Hamming near-dup pipeline (≙ HammingLsh) — verified pairs. */
   final case class SimHashDedup(cfg: DedupConfig = DedupConfig(), minSim: Double = 0.9) extends DedupQuery { val corpus: CorpusKind = TextCorpus }
+  /** SimHash near-dup *clusters* (every doc labeled, min member canonical) —
+    * the cluster-shaped sibling of [[SimHashDedup]], with exact-fingerprint
+    * collapse before candidates (the scale shape, same as [[MinHashDedup]]).
+    */
+  final case class SimHashClusters(cfg: DedupConfig = DedupConfig(), minSim: Double = 0.9) extends DedupQuery { val corpus: CorpusKind = TextCorpus }
   /** Embedding-cosine near-dup pipeline (≙ CosineLsh re-grounded to the
     * self-join dedup shape rather than knn).
     */
   final case class CosineDedup(theta: Double = 0.9, numTables: Int = 16,
                                rowsPerBand: Int = 8) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
-  /** Exact brute-force knn (≙ NearestNeighborsQuery.Exact). */
-  final case class ExactKnn(k: Int, queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+  /** Exact brute-force knn (≙ NearestNeighborsQuery.Exact) under any
+    * [[Knn.Similarity]] — the reference's `Exact(similarity)` accepts all
+    * of them (`Similarity.scala:3-5`; compat matrix `docs/pages/api.md:689-715`).
+    */
+  final case class ExactKnn(k: Int, queriesFilter: DataFrame => DataFrame = identity,
+                            similarity: Knn.Similarity = Knn.Similarity.Cosine) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** Hyperplane-LSH knn (≙ CosineLsh). */
   final case class CosineLshKnn(k: Int, numTables: Int = 32, rowsPerBand: Int = 8,
                                 queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+  /** L2 (p-stable) LSH knn with optional multiprobe (≙ `L2Lsh(probes)`). */
+  final case class L2LshKnn(k: Int, numTables: Int = 24, rowsPerBand: Int = 2, w: Int = 4,
+                            probes: Int = 0,
+                            queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+  /** Permutation-LSH top-k (≙ `PermutationLsh`), freq-aware hit counting. */
+  final case class PermutationKnn(k: Int, poolSize: Int = 16, repeating: Boolean = true,
+                                  queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** knn by indexed vector id (≙ `Vec.Indexed`, `Vec.scala:80`): the query
     * vector lives in the corpus and is resolved by id — the reference's
     * async fetch-then-rewrite (`ElasticsearchQueryBuilder.scala` rewrite
     * phase) re-grounded as a batch join/filter against the corpus table.
     */
-  final case class KnnById(ids: Seq[Long], k: Int) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+  final case class KnnById(ids: Seq[Long], k: Int,
+                           similarity: Knn.Similarity = Knn.Similarity.Cosine) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** IVF-partitioned knn (the batch scale path). */
   final case class IvfKnn(k: Int, nCells: Int = 16, nProbe: Int = 4,
                           queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
@@ -81,36 +98,37 @@ object Queries {
           .select(col("conv_id"), col("cluster_id"))
 
       case (SimHashDedup(cfg, minSim), _, _) =>
-        val sigs = Dedup.signatures(spark, corpus, cfg).localCheckpoint(eager = true)
-        val bandUdf = udf { (fp: Long) => graft.kernels.SimHashModel.bands(fp, cfg.simHashBands) }
-        // bands only on the self-join shuffle; fingerprints join back AFTER
-        // the pair aggregation (same shape as the MinHash verify path —
-        // the exchange carries ids, not payload, however narrow)
-        val banded = sigs.select(col("conv_id"), explode(bandUdf(col("simhash"))).as("band"))
-        val pairs = banded.select(col("band"), col("conv_id").as("id_a"))
-          .join(banded.select(col("band"), col("conv_id").as("id_b")), Seq("band"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("matching_bands"))
-        val fps = sigs.select(col("conv_id"), col("simhash"))
-        val hammingSim = udf { (a: Long, b: Long) => graft.kernels.ExactSim.hammingSim64(a, b) }
-        pairs
-          .join(fps.select(col("conv_id").as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
-          .join(fps.select(col("conv_id").as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
-          .withColumn("simhash_sim", hammingSim(col("fp_a"), col("fp_b")))
-          .filter(col("simhash_sim") >= minSim)
-          .select("id_a", "id_b", "simhash_sim")
+        // fingerprint bands route through the SAME skew-safe bucket scan as
+        // the MinHash/embedding paths (hot fingerprint bands — empty-doc
+        // sentinels, boilerplate families — take the salted block join)
+        val sigs = Dedup.signatures(spark, corpus, cfg)
+        SimHashPairs.dupPairs(sigs.select(col("conv_id"), col("simhash")),
+          cfg.simHashBands, minSim, cfg.bucketCap)
+
+      case (SimHashClusters(cfg, minSim), _, _) =>
+        val sigs = Dedup.signatures(spark, corpus, cfg)
+        SimHashPairs.clusters(corpus.select(col("conv_id")),
+          sigs.select(col("conv_id"), col("simhash")),
+          cfg.simHashBands, minSim, cfg.bucketCap)
 
       case (CosineDedup(theta, l, r), _, _) =>
         EmbeddingDedup.dupPairs(spark, corpus, theta, numTables = l, rowsPerBand = r)
 
-      case (ExactKnn(k, qf), _, _) =>
-        Knn.exactTopK(qf(corpus), corpus, k)
+      case (ExactKnn(k, qf, sim), _, _) =>
+        Knn.exactTopK(qf(corpus), corpus, k, sim)
 
-      case (KnnById(ids, k), _, _) =>
-        Knn.exactTopK(corpus.filter(col("vec_id").isin(ids: _*)), corpus, k)
+      case (KnnById(ids, k, sim), _, _) =>
+        Knn.exactTopK(corpus.filter(col("vec_id").isin(ids: _*)), corpus, k, sim)
 
       case (CosineLshKnn(k, l, r, qf), _, _) =>
         Knn.lshTopK(spark, qf(corpus), corpus, k, numTables = l, rowsPerBand = r)
+
+      case (L2LshKnn(k, l, r, w, probes, qf), _, _) =>
+        Knn.l2LshTopK(spark, qf(corpus), corpus, k, numTables = l, rowsPerBand = r,
+          w = w, probes = probes)
+
+      case (PermutationKnn(k, pool, repeating, qf), _, _) =>
+        Knn.permutationTopK(spark, qf(corpus), corpus, k, poolSize = pool, repeating = repeating)
 
       case (IvfKnn(k, cells, probe, qf), _, _) =>
         Knn.ivfTopK(qf(corpus), corpus, k, nCells = cells, nProbe = probe)

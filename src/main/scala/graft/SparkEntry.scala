@@ -254,28 +254,25 @@ object SparkEntry {
       sigsForDocs(s, dir).select(col("conv_id").cast("long").as("doc_id"), col("simhash"))),
 
     "q_simhash_dup_pairs" -> ((s, dir) => {
-      // SimHash path: band fingerprints → bucket join → exact Hamming verify
-      // (E3 analog). Bands only on the self-join shuffle; fingerprints join
-      // back after the pair aggregation (same shape as the MinHash verify
-      // path). Signatures checkpointed once: banded (×2) and the fp
-      // join-back (×2) all consume them.
-      val sigs = sigsForDocs(s, dir)
-        .select(col("conv_id").cast("long").as("doc_id"), col("simhash"))
-        .localCheckpoint(true)
-      val bandUdf = udf { (fp: Long) => graft.kernels.SimHashModel.bands(fp, docCfg.simHashBands) }
-      val banded = sigs.select(col("doc_id"), explode(bandUdf(col("simhash"))).as("band"))
-      val pairs = banded.select(col("band"), col("doc_id").as("id_a"))
-        .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val hammingSim = udf { (a: Long, b: Long) => graft.kernels.ExactSim.hammingSim64(a, b) }
-      pairs
-        .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
-        .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
-        .withColumn("simhash_sim", hammingSim(col("fp_a"), col("fp_b")))
-        .filter(col("simhash_sim") >= 0.9)
-        .select("id_a", "id_b", "simhash_sim")
+      // SimHash path: band fingerprints → the SAME skew-safe bucket scan as
+      // the MinHash/embedding paths (hot fingerprint bands take the salted
+      // block join) → exact Hamming verify (E3 analog). Zero-padded ids so
+      // the scan's binary pair order equals the numeric oracle order.
+      val fps = sigsForDocs(s, dir).select(col("conv_id"), col("simhash"))
+      SimHashPairs.dupPairs(fps, docCfg.simHashBands, minSim = 0.9, bucketCap = docCfg.bucketCap)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          col("simhash_sim"))
     }),
+
+    // ---- SimHash cluster assignments routed through the Q1 AST dispatch:
+    //      exact-fingerprint collapse → skew-safe candidates → Hamming
+    //      verify → CC; oracle = recursive-CTE components over ALL pairs
+    //      with hammingSim64 ≥ 0.9 (banding is complete at this threshold
+    //      by pigeonhole: ≤ 6 differing bits leave ≥ 2 of 8 bands intact) ----
+    "q_simhash_clusters" -> ((s, dir) =>
+      Queries.run(s, docsAsCorpus(s, dir), Queries.SimHashClusters(docCfg, minSim = 0.9))
+        .select(col("conv_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"))),
 
     "q_candidate_pairs" -> ((s, dir) =>
       Dedup.candidates(sigsForDocs(s, dir), docCfg)
@@ -396,15 +393,17 @@ object SparkEntry {
         // docs and Hamming similarity is trivially high regardless of
         // content — the Hamming path is for dense-ish vectors only
         .filter(size(col("true_indices")) >= 64)
+      // (conv_id, bands) rows feed the shared skew-safe bucket scan (the
+      // plain band self-join this row used before was the same hot-bucket
+      // hazard the SimHash path had); 12-digit zero-padding keeps the
+      // scan's binary pair order equal to the numeric oracle order
       val banded = sets.as[(Long, Array[Int])].mapPartitions { iter =>
         val model = new graft.kernels.BitSamplingModel(dims, numTables = 32, rowsPerBand = 8)
-        iter.flatMap { case (id, idx) => model.hash(idx).map(b => (id, b)) }
-      }.toDF("doc_id", "band")
-      val cands = banded.select(col("band"), col("doc_id").as("id_a"))
-        .join(banded.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).cast("long").as("matching_bands"))
-        .filter(col("matching_bands") >= 8)
+        iter.map { case (id, idx) => (f"$id%012d", model.hash(idx)) }
+      }.toDF("conv_id", "bands")
+      val cands = CandidatePairs.candidatePairs(banded, docCfg.copy(minBands = 8))
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          col("matching_bands").cast("long").as("matching_bands"))
       val hammingSim = udf { (a: Array[Int], b: Array[Int]) =>
         graft.kernels.ExactSim.hamming(a.map(_.toLong), b.map(_.toLong), dims.toLong)
       }
@@ -417,86 +416,43 @@ object SparkEntry {
         .select("id_a", "id_b", "matching_bands", "hamming_sim")
     }),
 
-    // ---- L2 LSH (stable distributions, H4) knn with exact re-score ----
-    "q_knn_l2_lsh" -> ((s, dir) => {
-      import s.implicits._
-      val emb = embeddingsDf(s, dir)
-      val dims = embDims
-      def banded(df: org.apache.spark.sql.DataFrame, idCol: String) =
-        df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-          .mapPartitions { iter =>
-            val model = new graft.kernels.L2LshModel(dims, numTables = 24, rowsPerBand = 2, w = 4)
-            iter.flatMap { case (id, e) => model.hash(e).map(b => (id, b)) }
-          }.toDF(idCol, "band")
-      val q = banded(emb.filter(col("vec_id") < 20), "q_id")
-      val c = banded(emb, "n_id")
-      val cands = q.join(c, Seq("band")).filter(col("q_id") =!= col("n_id"))
-        .groupBy("q_id", "n_id").agg(count(lit(1)).as("matching_bands"))
-      val l2sim = udf { (a: Array[Float], b: Array[Float]) => graft.kernels.ExactSim.l2Sim(a, b) }
-      val qv = emb.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
-      val cv = emb.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
-      // rank over the unrounded sim; round only in the final select (the
-      // oracle ranks by true sim and rounds for display)
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
-      cands.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
-        .withColumn("sim", l2sim(col("q_emb"), col("n_emb")))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
-          round(col("sim"), 6).as("sim"))
-    }),
+    // ---- L2 LSH (stable distributions, H4) knn with exact re-score,
+    //      routed through the Q1 AST dispatch (≙ NearestNeighborsQuery.L2Lsh) ----
+    "q_knn_l2_lsh" -> ((s, dir) =>
+      Queries.run(s, embeddingsDf(s, dir),
+          Queries.L2LshKnn(5, numTables = 24, rowsPerBand = 2, w = 4, probes = 0,
+            queriesFilter = _.filter(col("vec_id") < 20)))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))),
 
     // ---- L2 multiprobe (H4 probing variant, ≙ L2LshModel.java:88-140):
-    //      query-side ±1 bucket perturbations raise recall at fixed L ----
-    "q_knn_l2_multiprobe" -> ((s, dir) => {
-      import s.implicits._
-      val emb = embeddingsDf(s, dir)
-      val dims = embDims
-      def banded(df: org.apache.spark.sql.DataFrame, idCol: String, probes: Int) =
-        df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-          .mapPartitions { iter =>
-            val model = new graft.kernels.L2LshModel(dims, numTables = 12, rowsPerBand = 2, w = 4)
-            iter.flatMap { case (id, e) => model.hashWithProbes(e, probes).map(b => (id, b)) }
-          }.toDF(idCol, "band")
-      // corpus indexed unprobed; queries probe 6 perturbed buckets per table
-      val q = banded(emb.filter(col("vec_id") < 20), "q_id", probes = 6).distinct()
-      val c = banded(emb, "n_id", probes = 0)
-      val cands = q.join(c, Seq("band")).filter(col("q_id") =!= col("n_id"))
-        .select("q_id", "n_id").distinct()
-      val l2sim = udf { (a: Array[Float], b: Array[Float]) => graft.kernels.ExactSim.l2Sim(a, b) }
-      val qv = emb.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
-      val cv = emb.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
-      // rank over the UNROUNDED sim (round only for display): two
-      // candidates whose true sims differ but round equal must rank by
-      // true sim, as the oracle does — rounding before the window was a
-      // latent tiebreak-order mismatch
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("n_id"))
-      cands.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
-        .withColumn("sim", l2sim(col("q_emb"), col("n_emb")))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
-          round(col("sim"), 6).as("sim"))
-    }),
+    //      query-side bucket perturbations raise recall at fixed L ----
+    "q_knn_l2_multiprobe" -> ((s, dir) =>
+      Queries.run(s, embeddingsDf(s, dir),
+          Queries.L2LshKnn(5, numTables = 12, rowsPerBand = 2, w = 4, probes = 6,
+            queriesFilter = _.filter(col("vec_id") < 20)))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))),
+
+    // ---- exact knn under the L2 and L1 similarities (the reference's
+    //      Exact query is similarity-parameterized; cosine is covered by
+    //      q_knn_cosine/q_knn_by_id) ----
+    "q_knn_l2_exact" -> ((s, dir) =>
+      Queries.run(s, embeddingsDf(s, dir),
+          Queries.ExactKnn(5, _.filter(col("vec_id") < 20), Knn.Similarity.L2))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))),
+
+    "q_knn_l1_exact" -> ((s, dir) =>
+      Queries.run(s, embeddingsDf(s, dir),
+          Queries.ExactKnn(5, _.filter(col("vec_id") < 20), Knn.Similarity.L1))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))),
 
     // ---- Permutation LSH (H5) with freq-aware hit counting (C2,
-    //      ≙ MatchHashesAndScoreQuery.java:74-81 min(queryFreq, docFreq)) ----
-    "q_permutation_topk" -> ((s, dir) => {
-      import s.implicits._
-      val emb = embeddingsDf(s, dir)
-      def terms(df: org.apache.spark.sql.DataFrame, idCol: String, freqCol: String) =
-        df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
-          .mapPartitions { iter =>
-            val model = new graft.kernels.PermutationLshModel(16, repeating = true)
-            iter.flatMap { case (id, e) => model.hash(e).map { case (t, f) => (id, t, f) } }
-          }.toDF(idCol, "term", freqCol)
-      val q = terms(emb.filter(col("vec_id") < 20), "q_id", "q_freq")
-      val c = terms(emb, "n_id", "n_freq")
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("score"), asc("n_id"))
-      q.join(c, Seq("term")).filter(col("q_id") =!= col("n_id"))
-        .groupBy("q_id", "n_id")
-        .agg(sum(least(col("q_freq"), col("n_freq"))).cast("long").as("score"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))
-    }),
+    //      ≙ MatchHashesAndScoreQuery.java:74-81 min(queryFreq, docFreq)),
+    //      routed through the Q1 AST dispatch ----
+    "q_permutation_topk" -> ((s, dir) =>
+      Queries.run(s, embeddingsDf(s, dir),
+          Queries.PermutationKnn(5, poolSize = 16, repeating = true,
+            queriesFilter = _.filter(col("vec_id") < 20)))
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("score"))),
 
     // ---- streaming near-dup surface, batch-replayed: the stream-static
     //      band join of StreamingDedup.nearDupAgainstIndex is
@@ -544,8 +500,10 @@ object SparkEntry {
         .select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))
         .localCheckpoint(true) // detach from the workDir parquet before deleting it
       val p = java.nio.file.Paths.get(work)
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close() // the stream holds directory handles until closed
       out
     }),
 
@@ -755,6 +713,36 @@ object SparkEntry {
           |             n_id, round(sim, 6) AS sim FROM s)
           |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
 
+      // exact L2 knn = the brute-force scan the LSH row is validated
+      // against (recall-1.0 operating point) — same oracle by definition
+      "q_knn_l2_exact" ->
+        """WITH z AS (
+          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |         unnest(list_zip(q.embedding, c.embedding)) AS pr
+          |  FROM embeddings q, embeddings c
+          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+          |s AS (
+          |  SELECT q_id, n_id,
+          |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
+          |  FROM z GROUP BY 1, 2),
+          |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+          |             n_id, round(sim, 6) AS sim FROM s)
+          |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
+
+      "q_knn_l1_exact" ->
+        """WITH z AS (
+          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |         unnest(list_zip(q.embedding, c.embedding)) AS pr
+          |  FROM embeddings q, embeddings c
+          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+          |s AS (
+          |  SELECT q_id, n_id,
+          |    1.0/(1.0 + SUM(abs(pr[1]::DOUBLE - pr[2]::DOUBLE))) AS sim
+          |  FROM z GROUP BY 1, 2),
+          |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+          |             n_id, round(sim, 6) AS sim FROM s)
+          |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
+
       // IVF mirrored exactly: centroid cells = the 16 vectors minimizing
       // the engine's seeded sample hash (DuckSql regenerates mix64), argmax-
       // cosine assignment (ties → min cell), top-4 probe cells per query,
@@ -810,11 +798,12 @@ object SparkEntry {
            |      FROM z GROUP BY 1, 2)
            |SELECT id_a, id_b, round(sim, 6) AS cosine FROM s WHERE sim >= 0.9""".stripMargin,
 
-      // clusters over the same pairs: planted rows pair only with their
-      // source (every pair is (v, v+10000000)), so min-member components are
-      // derivable without a recursive CTE
+      // clusters over the same pairs: full recursive-CTE transitive closure
+      // (the planted components happen to be 2-node pairs today, but the
+      // oracle must stay correct if a future fixture's organic vectors
+      // chain — a 1-hop least(a, min(b)) would silently go wrong there)
       "q_embed_clusters" ->
-        s"""WITH $embedDupCorpusCte,
+        s"""WITH RECURSIVE $embedDupCorpusCte,
            |z AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |             unnest(list_zip(a.embedding, b.embedding)) AS pr
            |      FROM corpus a, corpus b WHERE a.vec_id < b.vec_id),
@@ -824,10 +813,14 @@ object SparkEntry {
            |                 * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE)) AS sim
            |      FROM z GROUP BY 1, 2),
            |e AS (SELECT id_a, id_b FROM s WHERE sim >= 0.9),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e)
+           |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
            |SELECT c.vec_id, CAST(coalesce(m.cluster_id, c.vec_id) AS BIGINT) AS cluster_id
            |FROM corpus c LEFT JOIN (
-           |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM sym GROUP BY a) m
+           |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) m
            |USING (vec_id)""".stripMargin,
 
       "q_lang_id" ->
@@ -909,6 +902,26 @@ object SparkEntry {
            |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            |       (64 - bit_count(xor(fa, fb)))/64.0 AS simhash_sim
            |FROM pairs WHERE (64 - bit_count(xor(fa, fb)))/64.0 >= 0.9""".stripMargin,
+
+      // SimHash clusters: recursive-CTE components over ALL pairs with
+      // hammingSim64 ≥ 0.9 — banding is complete at this threshold
+      // (pigeonhole over 8 × 8-bit bands), so engine candidates ≡ all pairs
+      "q_simhash_clusters" ->
+        s"""WITH RECURSIVE $sigb,
+           |e AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sigb a, sigb b
+           |  WHERE a.doc_id < b.doc_id
+           |    AND (64 - bit_count(xor(a.simhash, b.simhash)))/64.0 >= 0.9),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+           |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+           |FROM documents d LEFT JOIN (
+           |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) c
+           |USING (doc_id)""".stripMargin,
 
       "q_pair_explain" ->
         s"""WITH $sigb,

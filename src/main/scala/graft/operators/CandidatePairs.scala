@@ -87,18 +87,23 @@ object CandidatePairs {
             a.length < b.length
           }
 
-          private def pairsOf(band: Long, ids: Array[String]): Iterator[BucketOut] =
+          private def pairsOf(band: Long, ids0: Array[String]): Iterator[BucketOut] = {
+            // Duplicate conv_ids within one bucket (duplicate input rows, a
+            // conv repeated across sources) must count as ONE posting:
+            // emitting (dup, other) once per occurrence would inflate
+            // matching_bands past L and could pass minBands spuriously. The
+            // salted path dedupes the same way (hot postings are distinct'd
+            // before chunking), so a pair straddling both paths counts once.
+            val ids = if (ids0.length < 2) ids0 else ids0.distinct
             if (ids.length < 2) Iterator.empty
             else (for {
               i <- ids.indices.iterator
               j <- (i + 1 until ids.length).iterator
-              // x == y guards duplicate ids in one bucket: the join shape
-              // this scan replaced excluded self-pairs via strict "<"
-              if ids(i) != ids(j)
             } yield {
               val x = ids(i); val y = ids(j)
               (if (cpLt(x, y)) (x, y, null) else (y, x, null)): BucketOut
             }): Iterator[BucketOut]
+          }
 
           private def flushRun(): Iterator[BucketOut] = {
             val out =
@@ -151,8 +156,12 @@ object CandidatePairs {
     // Bucket sizes for the chunk count come from a groupBy over the HOT
     // postings only (bounded by hot-band membership — tiny next to the
     // corpus), broadcast back onto them.
+    // distinct mirrors the scan path's per-bucket id dedupe: duplicate
+    // (band, conv_id) postings must not multiply pair emissions. Bounded by
+    // hot-band membership, so the extra exchange is tiny next to the corpus.
     val hot = scanned.filter(col("band").isNotNull)
       .select(col("band"), col("a").as("conv_id"))
+      .distinct()
     val hotCounts = hot.groupBy(col("band")).agg(count(lit(1)).as("n"))
     val big = hot.join(broadcast(hotCounts), Seq("band"))
       .withColumn("g", ceil(col("n") / cap).cast("int"))

@@ -42,20 +42,55 @@ object Knn {
     dot / sqrt(na * nb)
   }
 
-  def dotCol(a: String, b: String): Column =
-    aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+  def dotColC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def l2DistCol(a: String, b: String): Column =
-    sqrt(aggregate(zip_with(col(a), col(b), (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+  def dotCol(a: String, b: String): Column = dotColC(col(a), col(b))
+
+  def l2DistColC(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x))
 
-  def l1DistCol(a: String, b: String): Column =
-    aggregate(zip_with(col(a), col(b), (x, y) => abs(x.cast("double") - y.cast("double"))),
+  def l2DistCol(a: String, b: String): Column = l2DistColC(col(a), col(b))
+
+  def l1DistColC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
+
+  def l1DistCol(a: String, b: String): Column = l1DistColC(col(a), col(b))
 
   /** L2 similarity 1/(1+dist) ≙ `ExactModel.l2Similarity`. */
   def l2SimCol(a: String, b: String): Column = lit(1.0) / (lit(1.0) + l2DistCol(a, b))
+
+  /** Exact-knn similarity family — ≙ the reference's `Similarity` enum
+    * (`/root/reference/elastiknn-api4s/.../api/Similarity.scala:3-5`) for
+    * the dense-float corpus kinds; `Exact` queries accept any of them
+    * (compat matrix, `docs/pages/api.md:689-715`). The sparse kinds
+    * (Jaccard/Hamming) live on the text/bit paths ([[VerifyPairs]],
+    * [[SimHashPairs]]) where the payload is a set, not a float vector.
+    */
+  sealed trait Similarity extends Serializable
+  object Similarity {
+    case object Cosine extends Similarity
+
+    /** 1/(1+‖a−b‖₂) ≙ `ExactModel.l2Similarity`. */
+    case object L2 extends Similarity
+
+    /** 1/(1+‖a−b‖₁) ≙ `ExactModel.l1Similarity`. */
+    case object L1 extends Similarity
+    case object Dot extends Similarity
+  }
+
+  /** The scoring column for a [[Similarity]] — all four stay inside
+    * whole-stage codegen (zip_with/aggregate built-ins, no UDF).
+    */
+  def simColC(similarity: Similarity, a: Column, b: Column): Column = similarity match {
+    case Similarity.Cosine => cosineColC(a, b)
+    case Similarity.L2     => lit(1.0) / (lit(1.0) + l2DistColC(a, b))
+    case Similarity.L1     => lit(1.0) / (lit(1.0) + l1DistColC(a, b))
+    case Similarity.Dot    => dotColC(a, b)
+  }
 
   /** Bounded top-k aggregator over (sim, id) candidates: keeps the k best
     * by (sim desc, id asc) in both partial and merge phases. Buffer is a
@@ -123,16 +158,18 @@ object Knn {
   def validDims(df: DataFrame, dims: Int, embCol: String = "embedding"): DataFrame =
     df.filter(size(col(embCol)) === dims)
 
-  /** Brute-force top-k cosine neighbors for each query vector.
-    * Queries are broadcast (small side); the corpus streams — one pass, no
-    * quadratic shuffle, k-bounded aggregation.
+  /** Brute-force top-k neighbors for each query vector under any
+    * [[Similarity]] (default cosine) — ≙ the reference's `Exact` query
+    * accepting all similarities. Queries are broadcast (small side); the
+    * corpus streams — one pass, no quadratic shuffle, k-bounded aggregation.
     */
-  def exactTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def exactTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                similarity: Similarity = Similarity.Cosine): DataFrame = {
     val q = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineCol("q_emb", "n_emb"))
+      .withColumn("sim", simColC(similarity, col("q_emb"), col("n_emb")))
     topK(scored.select("q_id", "n_id", "sim"), k)
   }
 
@@ -173,6 +210,68 @@ object Knn {
       .join(c, Seq("n_id"))
       .withColumn("sim", cosineCol("q_emb", "n_emb")) // C5 exact re-score
     topK(scored.select("q_id", "n_id", "sim"), k)
+  }
+
+  /** L2 (p-stable) LSH knn with optional multiprobe — ≙ the reference's
+    * `NearestNeighborsQuery.L2Lsh(probes)` read path (`L2LshModel.java:88-140`).
+    * The corpus is indexed unprobed; queries emit `probes` extra perturbed
+    * buckets per table (Qin et al. shift/expand heap, [[graft.kernels.L2LshModel.hashWithProbes]]),
+    * raising recall at fixed L without reindexing. Candidates = distinct
+    * bucket-sharing pairs; exact 1/(1+dist) re-score; bounded top-k.
+    */
+  def l2LshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+                numTables: Int = 24, rowsPerBand: Int = 2, w: Int = 4, probes: Int = 0,
+                seed: Long = 0L, dims: Int = -1): DataFrame = {
+    import spark.implicits._
+    val d = if (dims > 0) dims else corpus.select(size(col("embedding"))).first().getInt(0)
+    def banded(df: DataFrame, idCol: String, p: Int): DataFrame =
+      df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { iter =>
+          val model = new graft.kernels.L2LshModel(d, numTables, rowsPerBand, w, seed)
+          iter.flatMap { case (id, e) =>
+            (if (p > 0) model.hashWithProbes(e, p) else model.hash(e)).map(b => (id, b))
+          }
+        }.toDF(idCol, "band")
+    // probed query hashes can repeat a bucket (perturbations wrapping back);
+    // distinct so a (q, n) pair is counted once per *bucket*, as unprobed is
+    val q = { val b = banded(queries, "q_id", probes); if (probes > 0) b.distinct() else b }
+    val c = banded(corpus, "n_id", 0)
+    val cands = q.join(c, Seq("band"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val qv = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
+    val cv = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
+    val scored = cands
+      .join(broadcast(qv), Seq("q_id"))
+      .join(cv, Seq("n_id"))
+      .withColumn("sim", simColC(Similarity.L2, col("q_emb"), col("n_emb")))
+    topK(scored.select("q_id", "n_id", "sim"), k)
+  }
+
+  /** Permutation-LSH top-k — ≙ `NearestNeighborsQuery.PermutationLsh` with
+    * the freq-aware `min(queryFreq, docFreq)` hit counting of
+    * `MatchHashesAndScoreQuery.java:74-81` (C2). Score = Σ min(qf, nf) over
+    * shared sign-tagged top-|value| index terms; deterministic id-order
+    * tiebreak; bounded top-k (scores are small ints — exactly representable
+    * as the aggregator's Double ranking key).
+    */
+  def permutationTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+                      poolSize: Int = 16, repeating: Boolean = true): DataFrame = {
+    import spark.implicits._
+    def terms(df: DataFrame, idCol: String, freqCol: String): DataFrame =
+      df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { iter =>
+          val model = new graft.kernels.PermutationLshModel(poolSize, repeating)
+          iter.flatMap { case (id, e) => model.hash(e).map { case (t, f) => (id, t, f) } }
+        }.toDF(idCol, "term", freqCol)
+    val q = terms(queries, "q_id", "q_freq")
+    val c = terms(corpus, "n_id", "n_freq")
+    val scored = q.join(c, Seq("term"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(least(col("q_freq"), col("n_freq"))).cast("double").as("sim"))
+    topK(scored.select("q_id", "n_id", "sim"), k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim").cast("long").as("score"))
   }
 
   /** Seed constant for the IVF centroid sample order (any fixed odd-ish

@@ -85,12 +85,40 @@ object StreamingDedup {
     * the read path C1/C2/C5 with the stream as the query side. Returns
     * (conv_id, matched_id, matching_bands) candidates; exact verification
     * joins the payload exactly like the batch verify stage.
+    *
+    * **Skew-safe**: a hot index band (empty-doc sentinel, boilerplate
+    * family) would otherwise put (index members × stream hits) rows on ONE
+    * shuffle key — the stream-side analog of the hazard the batch path's
+    * [[graft.operators.CandidatePairs]] scan exists for. The scan itself is
+    * a sorted mapPartitions and can't run on an unbounded stream, so this
+    * uses the classic stream-static salting: index rows of bands larger
+    * than `bucketCap` are replicated across `g = ⌈n/cap⌉` salts (a static,
+    * one-time transform), and each stream row picks ONE deterministic salt
+    * — every (stream, index) band pair still meets exactly once, but a hot
+    * band's work spreads over g shuffle keys. Cold bands pay nothing
+    * (g = 1). Both the hot-band table and the salted index are static, so
+    * no streaming state is created.
     */
   def nearDupAgainstIndex(streamSigs: DataFrame, indexSigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val streamBands = streamSigs.select(col("conv_id"), explode(col("bands")).as("band"))
+    import org.apache.spark.sql.functions.broadcast
+    val cap = cfg.bucketCap
     val indexBands = indexSigs.select(col("conv_id").as("matched_id"), explode(col("bands")).as("band"))
+    // static: fan-out factor per hot band only (tiny — bounded by the
+    // number of bands hotter than cap, not by the index)
+    val hotBands = indexBands.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(col("band"), ceil(col("n") / cap).cast("int").as("g"))
+    val saltedIndex = indexBands
+      .join(broadcast(hotBands), Seq("band"), "left")
+      .withColumn("salt", explode(sequence(lit(0), coalesce(col("g"), lit(1)) - 1)))
+      .select(col("band"), col("salt"), col("matched_id"))
+    val streamBands = streamSigs.select(col("conv_id"), explode(col("bands")).as("band"))
+      .join(broadcast(hotBands), Seq("band"), "left")
+      .withColumn("salt", pmod(xxhash64(col("conv_id")), coalesce(col("g"), lit(1)).cast("long")).cast("int"))
+      .select(col("conv_id"), col("band"), col("salt"))
     streamBands
-      .join(indexBands, Seq("band")) // stream-static equi-join: no streaming state
+      .join(saltedIndex, Seq("band", "salt")) // stream-static equi-join: no streaming state
       .filter(col("conv_id") =!= col("matched_id"))
       .groupBy(col("conv_id"), col("matched_id"))
       .agg(count(lit(1)).cast("int").as("matching_bands"))
