@@ -100,15 +100,14 @@ object Queries {
       case (SimHashDedup(cfg, minSim), _, _) =>
         // fingerprint bands route through the SAME skew-safe bucket scan as
         // the MinHash/embedding paths (hot fingerprint bands — empty-doc
-        // sentinels, boilerplate families — take the salted block join)
-        val sigs = Dedup.signatures(spark, corpus, cfg)
-        SimHashPairs.dupPairs(sigs.select(col("conv_id"), col("simhash")),
-          cfg.simHashBands, minSim, cfg.bucketCap)
+        // sentinels, boilerplate families — take the salted block join).
+        // simhash-only kernel: no MinHash permutations computed then dropped
+        val fps = Signatures.simhashSignatures(spark, corpus, cfg)
+        SimHashPairs.dupPairs(fps, cfg.simHashBands, minSim, cfg.bucketCap)
 
       case (SimHashClusters(cfg, minSim), _, _) =>
-        val sigs = Dedup.signatures(spark, corpus, cfg)
-        SimHashPairs.clusters(corpus.select(col("conv_id")),
-          sigs.select(col("conv_id"), col("simhash")),
+        val fps = Signatures.simhashSignatures(spark, corpus, cfg)
+        SimHashPairs.clusters(corpus.select(col("conv_id")), fps,
           cfg.simHashBands, minSim, cfg.bucketCap)
 
       case (CosineDedup(theta, l, r), _, _) =>

@@ -61,4 +61,24 @@ object Signatures {
       }
     }.toDF()
   }
+
+  /** SimHash-only signatures: (conv_id, simhash). The full kernel evaluates
+    * L·r MinHash permutations per document (144 at the defaults) that a
+    * SimHash-shaped query throws away — at 10^12 turns that is most of the
+    * signature stage's CPU. Identical shingling and fingerprint math to the
+    * full kernel (same seed → bit-identical `simhash` column), so outputs
+    * are interchangeable between the two.
+    */
+  def simhashSignatures(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("conv_id", "coalesce(doc_text, '') as doc_text")
+      .as[(String, String)]
+      .mapPartitions { iter =>
+        iter.map { case (convId, text) =>
+          val sh = Shingler.shingles(text, cfg.shingleK, cfg.shingleMode, cfg.seed)
+          (convId, SimHashModel.fingerprint(sh, cfg.seed))
+        }
+      }
+      .toDF("conv_id", "simhash")
+  }
 }

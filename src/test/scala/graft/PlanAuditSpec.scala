@@ -109,6 +109,30 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     blocks.filter(_.startsWith("BroadcastExchange")).foreach(b => b should not include "embedding")
   }
 
+  test("SimHash cluster path: no cartesian; no exchange carries text or shingle payload") {
+    val p = plan("q_simhash_clusters")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the simhash-only kernel never materializes shingles/bands; every
+    // exchange moves (id, band) / (id, fingerprint) rows only
+    val blocks = p.split("\\n\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(b => b.startsWith("Exchange") || b.startsWith("AQEShuffleRead"))
+    exchanges should not be empty
+    exchanges.foreach { b =>
+      b should not include "shingles"
+      b should not include "doc_text"
+    }
+  }
+
+  test("salted stream-static near-dup join: no cartesian, no payload on the band exchange") {
+    val p = plan("q_stream_neardup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    val blocks = p.split("\\n\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(b => b.startsWith("Exchange") || b.startsWith("AQEShuffleRead"))
+    exchanges.filter(_.contains("band")).foreach(b => b should not include "shingles")
+  }
+
   test("the flagship pipeline contains no CartesianProduct or BroadcastNestedLoopJoin") {
     val df = Dedup.pipeline(spark, graft.sources.TranscriptGen.df(spark, 100L), DedupConfig())
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
