@@ -23,9 +23,13 @@ object Dedup {
   def signatures(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame =
     Signatures.signatures(spark, docs, cfg)
 
-  /** Signatures → candidate pairs (id_a < id_b, matching_bands ≥ minBands). */
-  def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    CandidatePairs.candidatePairs(sigs, cfg)
+  /** Signatures → candidate pairs (id_a < id_b, matching_bands ≥ minBands).
+    * Pass `metrics` to record which work took the hot-bucket/salted path
+    * (surfaced in checkpoint lineage — no silent caps).
+    */
+  def candidates(sigs: DataFrame, cfg: DedupConfig,
+                 metrics: Option[CandidatePairs.CandidateMetrics] = None): DataFrame =
+    CandidatePairs.candidatePairs(sigs, cfg, metrics)
 
   /** Candidate pairs → exactly verified pairs (jaccard ≥ θ). */
   def verify(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame =

@@ -39,7 +39,8 @@ object Queries {
     * self-join dedup shape rather than knn).
     */
   final case class CosineDedup(theta: Double = 0.9, numTables: Int = 16,
-                               rowsPerBand: Int = 8) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+                               rowsPerBand: Int = 8,
+                               dims: Int = -1) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** Exact brute-force knn (≙ NearestNeighborsQuery.Exact) under any
     * [[Knn.Similarity]] — the reference's `Exact(similarity)` accepts all
     * of them (`Similarity.scala:3-5`; compat matrix `docs/pages/api.md:689-715`).
@@ -110,8 +111,9 @@ object Queries {
         SimHashPairs.clusters(corpus.select(col("conv_id")), fps,
           cfg.simHashBands, minSim, cfg.bucketCap)
 
-      case (CosineDedup(theta, l, r), _, _) =>
-        EmbeddingDedup.dupPairs(spark, corpus, theta, numTables = l, rowsPerBand = r)
+      case (CosineDedup(theta, l, r, dims), _, _) =>
+        // callers that know dims skip the plan-time LIMIT-1 probe job
+        EmbeddingDedup.dupPairs(spark, corpus, theta, numTables = l, rowsPerBand = r, dims = dims)
 
       case (ExactKnn(k, qf, sim), _, _) =>
         Knn.exactTopK(qf(corpus), corpus, k, sim)

@@ -219,13 +219,13 @@ object SparkEntry {
     //      dedup shape; routed through the Q1 AST dispatch; oracle =
     //      exact all-pairs cosine ≥ θ over the planted-dup corpus) ----
     "q_embed_dup_pairs" -> ((s, dir) =>
-      Queries.run(s, embedDupCorpus(s, dir), Queries.CosineDedup(theta = 0.9))
+      Queries.run(s, embedDupCorpus(s, dir), Queries.CosineDedup(theta = 0.9, dims = embDims))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     // near-dup clusters over the same corpus (CC over verified pairs;
     // every vector labeled, min member id canonical)
     "q_embed_clusters" -> ((s, dir) =>
-      EmbeddingDedup.clusters(s, embedDupCorpus(s, dir), theta = 0.9)),
+      EmbeddingDedup.clusters(s, embedDupCorpus(s, dir), theta = 0.9, dims = embDims)),
 
     // ---- language ID heuristic ----
     "q_lang_id" -> ((s, dir) =>
@@ -469,6 +469,21 @@ object SparkEntry {
           col("matching_bands").cast("long").as("matching_bands"))
     }),
 
+    // ---- streaming verify (C5 on the stream side): the foreachBatch-shaped
+    //      exact-Jaccard re-score over the same stream/index split — every
+    //      emitted pair is exactly verified (precision 1.0 by construction);
+    //      oracle = posting join + list_intersect re-score at θ ----
+    "q_stream_neardup_verified" -> ((s, dir) => {
+      val sigs = sigsForDocs(s, dir).localCheckpoint(true)
+      val index = sigs.filter(col("conv_id").cast("long") < 250)
+      val stream = sigs.filter(col("conv_id").cast("long") >= 250)
+      graft.streaming.StreamingDedup.nearDupVerified(stream, index, docCfg)
+        .select(col("conv_id").cast("long").as("conv_id"),
+          col("matched_id").cast("long").as("matched_id"),
+          col("matching_bands").cast("long").as("matching_bands"),
+          col("jaccard"))
+    }),
+
     // ---- char-shingle config coverage (Shingler.Chars; the contract was
     //      Words-only before): distinct char-5-gram count per document ----
     "q_char_shingle_stats" -> ((s, dir) => {
@@ -569,6 +584,23 @@ object SparkEntry {
 
     val cosinePair =
       "SUM(pr[1]::DOUBLE * pr[2]::DOUBLE) / sqrt(SUM(pr[1]::DOUBLE * pr[1]::DOUBLE) * SUM(pr[2]::DOUBLE * pr[2]::DOUBLE))"
+
+    // shared exact-L2 top-5 (1/(1+dist) similarity) — the oracle for the
+    // exact-L2 row and, at their validated recall-1.0 operating points, the
+    // L2-LSH and multiprobe rows
+    val exactL2Top5 =
+      """WITH z AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |         unnest(list_zip(q.embedding, c.embedding)) AS pr
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |s AS (
+        |  SELECT q_id, n_id,
+        |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
+        |  FROM z GROUP BY 1, 2),
+        |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |             n_id, round(sim, 6) AS sim FROM s)
+        |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin
 
     // recursive-CTE components over exact-Jaccard dup pairs on the
     // documents table — shared by the direct CC query and the Queries.run
@@ -685,49 +717,13 @@ object SparkEntry {
 
       // multiprobe widens the candidate set beyond the unprobed path, so
       // the recall-1.0 exact oracle holds a fortiori at this config
-      "q_knn_l2_multiprobe" ->
-        """WITH z AS (
-          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          |         unnest(list_zip(q.embedding, c.embedding)) AS pr
-          |  FROM embeddings q, embeddings c
-          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
-          |s AS (
-          |  SELECT q_id, n_id,
-          |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
-          |  FROM z GROUP BY 1, 2),
-          |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
-          |             n_id, round(sim, 6) AS sim FROM s)
-          |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
+      "q_knn_l2_multiprobe" -> exactL2Top5,
 
-      "q_knn_l2_lsh" ->
-        """WITH z AS (
-          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          |         unnest(list_zip(q.embedding, c.embedding)) AS pr
-          |  FROM embeddings q, embeddings c
-          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
-          |s AS (
-          |  SELECT q_id, n_id,
-          |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
-          |  FROM z GROUP BY 1, 2),
-          |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
-          |             n_id, round(sim, 6) AS sim FROM s)
-          |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
+      "q_knn_l2_lsh" -> exactL2Top5,
 
       // exact L2 knn = the brute-force scan the LSH row is validated
       // against (recall-1.0 operating point) — same oracle by definition
-      "q_knn_l2_exact" ->
-        """WITH z AS (
-          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          |         unnest(list_zip(q.embedding, c.embedding)) AS pr
-          |  FROM embeddings q, embeddings c
-          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
-          |s AS (
-          |  SELECT q_id, n_id,
-          |    1.0/(1.0 + sqrt(SUM((pr[1]::DOUBLE - pr[2]::DOUBLE)*(pr[1]::DOUBLE - pr[2]::DOUBLE)))) AS sim
-          |  FROM z GROUP BY 1, 2),
-          |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
-          |             n_id, round(sim, 6) AS sim FROM s)
-          |SELECT q_id, rank, n_id, sim FROM r WHERE rank <= 5""".stripMargin,
+      "q_knn_l2_exact" -> exactL2Top5,
 
       "q_knn_l1_exact" ->
         """WITH z AS (
@@ -1033,6 +1029,22 @@ object SparkEntry {
            |SELECT s.doc_id AS conv_id, i.doc_id AS matched_id, CAST(count(*) AS BIGINT) AS matching_bands
            |FROM posts s JOIN posts i ON s.band = i.band AND s.doc_id >= 250 AND i.doc_id < 250
            |GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}""".stripMargin,
+
+      "q_stream_neardup_verified" ->
+        s"""WITH $sigb,
+           |posts AS (SELECT doc_id, u.b AS band FROM sigb, unnest(bands) AS u(b)),
+           |cand AS (
+           |  SELECT s.doc_id AS conv_id, i.doc_id AS matched_id, CAST(count(*) AS BIGINT) AS matching_bands
+           |  FROM posts s JOIN posts i ON s.band = i.band AND s.doc_id >= 250 AND i.doc_id < 250
+           |  GROUP BY 1, 2 HAVING count(*) >= ${docCfg.minBands}),
+           |ver AS (
+           |  SELECT c.conv_id, c.matched_id, c.matching_bands,
+           |         CASE WHEN len(a.s) + len(b.s) = 0 THEN 1.0
+           |              ELSE len(list_intersect(a.s, b.s)) * 1.0
+           |                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END AS jaccard
+           |  FROM cand c JOIN sigb a ON c.conv_id = a.doc_id JOIN sigb b ON c.matched_id = b.doc_id)
+           |SELECT conv_id, matched_id, matching_bands, jaccard
+           |FROM ver WHERE jaccard >= ${docCfg.theta}""".stripMargin,
 
       "q_char_shingle_stats" ->
         """WITH nt AS (

@@ -25,6 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object CandidatePairs {
 
+  /** Runtime skew counters for the scan — "no silent caps": which work took
+    * the salted path is observable, not implied. Accumulator semantics are
+    * at-least-once (task retries/speculation can double-count); that is the
+    * right trade for metrics — zero extra jobs, zero extra exchanges.
+    *
+    * @param hotBuckets  runs reclassified as hot (buffered > bucketCap)
+    * @param hotPostings posting rows routed to the salted block join
+    * @param saltedPairs candidate pairs emitted by the salted path
+    */
+  final case class CandidateMetrics(
+      hotBuckets: org.apache.spark.util.LongAccumulator,
+      hotPostings: org.apache.spark.util.LongAccumulator,
+      saltedPairs: org.apache.spark.util.LongAccumulator
+  ) extends Serializable
+
+  object CandidateMetrics {
+    def register(spark: org.apache.spark.sql.SparkSession): CandidateMetrics =
+      CandidateMetrics(
+        spark.sparkContext.longAccumulator("graft.candidates.hot_buckets"),
+        spark.sparkContext.longAccumulator("graft.candidates.hot_postings"),
+        spark.sparkContext.longAccumulator("graft.candidates.salted_pairs"))
+  }
+
   /** All unordered candidate pairs (id_a < id_b) with the number of
     * matching bands. Complete (no recall loss from capping).
     *
@@ -45,7 +68,8 @@ object CandidatePairs {
     * proportional) is materialized once: it feeds the hit-count aggregation
     * and, rarely, the block join, and must not re-run the sorted scan.
     */
-  def candidatePairs(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  def candidatePairs(sigs: DataFrame, cfg: DedupConfig,
+                     metrics: Option[CandidateMetrics] = None): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
 
@@ -119,13 +143,16 @@ object CandidatePairs {
               head = None
               if (buf.isEmpty && !overflow) { curBand = band; buf += id }
               else if (band == curBand) {
-                if (overflow) pending = Iterator.single((id, null, band): BucketOut)
-                else {
+                if (overflow) {
+                  metrics.foreach(_.hotPostings.add(1))
+                  pending = Iterator.single((id, null, band): BucketOut)
+                } else {
                   buf += id
                   if (buf.length > cap) {
                     // cap exceeded: reclassify the buffered run as a hot
                     // bucket — emit every member tagged, then stream
                     overflow = true
+                    metrics.foreach { m => m.hotBuckets.add(1); m.hotPostings.add(buf.length) }
                     val b = curBand
                     pending = buf.toArray.iterator.map(m => (m, null, b): BucketOut)
                     buf.clear()
@@ -192,9 +219,19 @@ object CandidatePairs {
         greatest(col("id_a"), col("id_b")).as("id_b")
       )
 
+    // salted-pair counter rides the (rare, small) hot path only — the
+    // typed map breaks codegen for these rows, never for the main scan
+    val bigPairsCounted = metrics match {
+      case Some(m) =>
+        bigPairs.as[(String, String)]
+          .map { p => m.saltedPairs.add(1); p }
+          .toDF("id_a", "id_b")
+      case None => bigPairs
+    }
+
     // ---- candidate aggregation (hit counting, C2) + threshold (C3/C4) ----
     smallPairs
-      .unionByName(bigPairs)
+      .unionByName(bigPairsCounted)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("int").as("matching_bands"))
       .filter(col("matching_bands") >= cfg.minBands)

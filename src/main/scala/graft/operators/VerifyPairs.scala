@@ -25,7 +25,7 @@ object VerifyPairs {
     * matters: a Scala UDF here forces every shingle array out of Tungsten
     * (measured 39 s → ~2 s on the 600k-conv verify stage).
     */
-  private def jaccardCol(a: Column, b: Column): Column = {
+  private[graft] def jaccardColumn(a: Column, b: Column): Column = {
     val emptyArr = array().cast("array<bigint>")
     val sa = coalesce(a, emptyArr)
     val sb = coalesce(b, emptyArr)
@@ -99,7 +99,7 @@ object VerifyPairs {
       else payloadA.join(pairsM.hint("shuffle_hash"), Seq("id_a"))
     join1.hint("shuffle_hash")
       .join(payloadB, Seq("id_b"))
-      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardColumn(col("sh_a"), col("sh_b")))
       .withColumn("simhash_sim", hamming64Col(col("fp_a"), col("fp_b")))
       .select("id_a", "id_b", "matching_bands", "jaccard", "simhash_sim")
   }

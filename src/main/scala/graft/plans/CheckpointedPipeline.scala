@@ -37,10 +37,11 @@ object CheckpointedPipeline {
   private def lineagePath(dir: String): java.nio.file.Path = Paths.get(dir, "_lineage.json")
 
   private def writeLineage(dir: String, stage: String, cfgHash: String, upstream: String,
-                           rows: Long, wallSec: Double, nBuckets: Int): Unit = {
+                           rows: Long, wallSec: Double, nBuckets: Int,
+                           extra: String = ""): Unit = {
     val json =
       s"""{"stage":"$stage","config_hash":"$cfgHash","upstream":"$upstream","rows":$rows,""" +
-        f""""wall_sec":$wallSec%.3f,"n_buckets":$nBuckets,"written_at_ms":${System.currentTimeMillis()}}"""
+        f""""wall_sec":$wallSec%.3f,"n_buckets":$nBuckets$extra,"written_at_ms":${System.currentTimeMillis()}}"""
     Files.writeString(lineagePath(dir), json)
   }
 
@@ -97,7 +98,10 @@ object CheckpointedPipeline {
     val cfgHash = configHash(cfg, nBuckets) + "-" + inputFp
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageInfo]
 
-    def stage(name: String, upstream: String, partitionCols: Seq[String])(compute: => DataFrame): DataFrame = {
+    // extraLineage is evaluated AFTER the stage's write action completes —
+    // runtime counters (accumulators) are only full once the job has run
+    def stage(name: String, upstream: String, partitionCols: Seq[String],
+              extraLineage: () => String = () => "")(compute: => DataFrame): DataFrame = {
       val dir = s"$workDir/$name"
       if (reusable(dir, cfgHash, upstream)) {
         val df = spark.read.parquet(dir)
@@ -111,7 +115,7 @@ object CheckpointedPipeline {
         val out = spark.read.parquet(dir)
         val rows = out.count()
         val wall = (System.nanoTime() - t0) / 1e9
-        writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets)
+        writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets, extraLineage())
         stages += StageInfo(name, rows, wall, reused = false)
         out
       }
@@ -122,10 +126,16 @@ object CheckpointedPipeline {
         .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
     }
 
-    val pairs = stage("pairs", upstream = s"signatures/$cfgHash", partitionCols = Nil) {
+    // skew counters land in the pairs lineage: which bands overflowed
+    // bucketCap and how much work the salted path did is part of the
+    // run's metrics record, not a silent internal detail
+    val candMetrics = graft.operators.CandidatePairs.CandidateMetrics.register(spark)
+    val pairs = stage("pairs", upstream = s"signatures/$cfgHash", partitionCols = Nil,
+      extraLineage = () =>
+        s""","hot_buckets":${candMetrics.hotBuckets.value},"hot_postings":${candMetrics.hotPostings.value},"salted_pairs":${candMetrics.saltedPairs.value}""") {
       // bands-only rep aggregation (same shape as Dedup.pipeline): the
       // shingle payload joins in member-reduced inside verify
-      Dedup.verify(Dedup.candidates(Dedup.repBands(sigs), cfg), sigs, cfg)
+      Dedup.verify(Dedup.candidates(Dedup.repBands(sigs), cfg, Some(candMetrics)), sigs, cfg)
     }
 
     val clusters = stage("clusters", upstream = s"pairs/$cfgHash", partitionCols = Nil) {

@@ -91,13 +91,19 @@ object StreamingDedup {
     * shuffle key — the stream-side analog of the hazard the batch path's
     * [[graft.operators.CandidatePairs]] scan exists for. The scan itself is
     * a sorted mapPartitions and can't run on an unbounded stream, so this
-    * uses the classic stream-static salting: index rows of bands larger
-    * than `bucketCap` are replicated across `g = ⌈n/cap⌉` salts (a static,
-    * one-time transform), and each stream row picks ONE deterministic salt
-    * — every (stream, index) band pair still meets exactly once, but a hot
-    * band's work spreads over g shuffle keys. Cold bands pay nothing
-    * (g = 1). Both the hot-band table and the salted index are static, so
-    * no streaming state is created.
+    * salts with the replication on the SMALL side: index rows of a band
+    * larger than `bucketCap` are deterministically CHUNKED (each index row
+    * lands in exactly one of `g = ⌈n/cap⌉` chunks — no index replication),
+    * and each stream row hitting that band is exploded across all g chunks.
+    * Every (stream, index) band pair still meets exactly once — the index
+    * row sits in one chunk, the stream row visits every chunk — but a hot
+    * band's work spreads over g shuffle keys of ≤ cap index rows each. The
+    * replication cost is g rows per (stream row × hot band): proportional
+    * to the micro-batch, never to the index (the previous orientation
+    * replicated the index across the salts — n·g ≈ n²/cap rows per hot
+    * band, quadratic in exactly the case salting exists for). Cold bands
+    * pay nothing (g = 1). The hot-band table and the chunked index are
+    * static, so no streaming state is created.
     */
   def nearDupAgainstIndex(streamSigs: DataFrame, indexSigs: DataFrame, cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
@@ -109,19 +115,56 @@ object StreamingDedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > cap)
       .select(col("band"), ceil(col("n") / cap).cast("int").as("g"))
-    val saltedIndex = indexBands
+    val chunkedIndex = indexBands
       .join(broadcast(hotBands), Seq("band"), "left")
-      .withColumn("salt", explode(sequence(lit(0), coalesce(col("g"), lit(1)) - 1)))
+      .withColumn("salt",
+        when(col("g").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("matched_id")), col("g").cast("long")).cast("int")))
       .select(col("band"), col("salt"), col("matched_id"))
     val streamBands = streamSigs.select(col("conv_id"), explode(col("bands")).as("band"))
       .join(broadcast(hotBands), Seq("band"), "left")
-      .withColumn("salt", pmod(xxhash64(col("conv_id")), coalesce(col("g"), lit(1)).cast("long")).cast("int"))
+      .withColumn("salt", explode(sequence(lit(0), coalesce(col("g"), lit(1)) - 1)))
       .select(col("conv_id"), col("band"), col("salt"))
     streamBands
-      .join(saltedIndex, Seq("band", "salt")) // stream-static equi-join: no streaming state
+      .join(chunkedIndex, Seq("band", "salt")) // stream-static equi-join: no streaming state
       .filter(col("conv_id") =!= col("matched_id"))
       .groupBy(col("conv_id"), col("matched_id"))
       .agg(count(lit(1)).cast("int").as("matching_bands"))
       .filter(col("matching_bands") >= cfg.minBands)
+  }
+
+  /** Exact-Jaccard verification of the streaming candidates — the C5 stage
+    * on the stream side, closing the candidates→verified gap (the batch
+    * verify's precision-1.0 contract now holds for streamed docs too).
+    *
+    * Shaped for `foreachBatch`, the production pattern for stream-side
+    * joins that need the batch planner: inside `foreachBatch` the
+    * micro-batch IS a static DataFrame, so both payload joins below are
+    * ordinary batch joins (`batchSigs` must carry `shingles`, i.e. come
+    * from the full signature kernel). The same function replays against
+    * static frames, which is how the driver oracle checks it.
+    *
+    * Join discipline (same as [[graft.operators.VerifyPairs]]): the index
+    * payload is reduced to matched ids via a broadcast semi-join BEFORE its
+    * shingle arrays move — candidates are micro-batch-bounded, the index is
+    * not — and the batch-side payload join is micro-batch-sized by
+    * definition. One payload-carrying exchange per side, both bounded by
+    * candidate density.
+    */
+  def nearDupVerified(batchSigs: DataFrame, indexSigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cands = nearDupAgainstIndex(batchSigs, indexSigs, cfg).localCheckpoint(true)
+    val idxPayload = indexSigs
+      .select(col("conv_id").as("matched_id"), col("shingles").as("sh_i"))
+      .join(broadcast(cands.select(col("matched_id")).distinct()), Seq("matched_id"), "left_semi")
+    val batchPayload = batchSigs.select(col("conv_id"), col("shingles").as("sh_s"))
+    cands
+      .hint("shuffle_hash")
+      .join(batchPayload, Seq("conv_id"))
+      .hint("shuffle_hash")
+      .join(idxPayload, Seq("matched_id"))
+      .withColumn("jaccard", graft.operators.VerifyPairs.jaccardColumn(col("sh_s"), col("sh_i")))
+      .filter(col("jaccard") >= cfg.theta)
+      .select(col("conv_id"), col("matched_id"), col("matching_bands"), col("jaccard"))
   }
 }

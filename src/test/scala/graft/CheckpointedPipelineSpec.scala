@@ -67,4 +67,30 @@ class CheckpointedPipelineSpec extends AnyFunSuite with Matchers with BeforeAndA
     // same clusters at this corpus (lower L still finds the planted dups)
     clustersMap(c4) shouldBe m1
   }
+
+  test("lineage records hot-bucket/salted-path metrics on a boilerplate-family corpus (no silent caps)") {
+    val s = spark
+    import s.implicits._
+    // 120 near-identical docs (30 shared words + 1 unique): distinct shingle
+    // sets (no exact collapse), but nearly every band bucket holds all 120
+    // reps — far over bucketCap=8, so the salted path must do real work
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val transcripts = (0 until 120).map { i =>
+      (f"c$i%04d", 0, "user", s"$base unique$i", "", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val work = Files.createTempDirectory("graft-ckpt-hot").toString
+    try {
+      val cfg = DedupConfig(bucketCap = 8)
+      CheckpointedPipeline.run(spark, transcripts, cfg, work, nBuckets = 4)
+      val lineage = Files.readString(Paths.get(s"$work/pairs/_lineage.json"))
+      val hotBuckets = """"hot_buckets":(\d+)""".r.findFirstMatchIn(lineage).map(_.group(1).toLong)
+      val saltedPairs = """"salted_pairs":(\d+)""".r.findFirstMatchIn(lineage).map(_.group(1).toLong)
+      hotBuckets.getOrElse(fail(s"no hot_buckets in lineage: $lineage")) should be > 0L
+      saltedPairs.getOrElse(fail(s"no salted_pairs in lineage: $lineage")) should be > 0L
+      // the cold-corpus lineage from the main test records the fields too,
+      // with zero work routed to the salted path
+      val cold = Files.readString(Paths.get(s"$workDir/pairs/_lineage.json"))
+      cold should include(""""hot_buckets":""")
+    } finally new Directory(new java.io.File(work)).deleteRecursively()
+  }
 }

@@ -104,6 +104,52 @@ class StreamingQueriesSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     hits shouldBe Set(("new1", "old1"))
   }
 
+  test("foreachBatch near-dup verify: every emitted pair is exactly verified (precision 1.0)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cfg = DedupConfig(minBands = 1)
+    val index = Dedup.signatures(s,
+      Seq(("old1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          ("old2", "unrelated content words that do not match anything else at all"))
+        .toDF("conv_id", "doc_text"), cfg).localCheckpoint(true)
+
+    val mem = MemoryStream[(String, String)]
+    val docs = mem.toDF().toDF("conv_id", "doc_text")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    val q = docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // the production shape: full signature kernel on the micro-batch,
+      // then candidates + exact verify against the static index
+      val batchSigs = Dedup.signatures(s, batch, cfg)
+      val verified = StreamingDedup.nearDupVerified(batchSigs, index, cfg)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+      collected.synchronized { collected ++= verified }
+      ()
+    }.start()
+    try {
+      mem.addData(
+        // old1 + one appended word: 8 of 9 shingles shared, jaccard 8/9 >= θ
+        ("new1", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+        // shares 5 of 8 shingles with old1 (jaccard 5/11 ≈ 0.45): bands
+        // collide at minBands=1, but jaccard is well below θ=0.8 — must be
+        // verified away (this is the precision contract under test)
+        ("new2", "alpha beta gamma delta epsilon zeta eta different words entirely"),
+        ("new3", "totally novel text with fresh words nobody wrote before"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // candidates (pre-verify) include the borderline pair; verified must not
+    val cands = StreamingDedup.nearDupAgainstIndex(
+      Dedup.signatures(s, Seq(
+        ("new1", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+        ("new2", "alpha beta gamma delta epsilon zeta eta different words entirely"),
+        ("new3", "totally novel text with fresh words nobody wrote before")).toDF("conv_id", "doc_text"), cfg),
+      index, cfg).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    cands should contain(("new2", "old1")) // candidate exists pre-verify...
+    val got = collected.map(t => (t._1, t._2)).toSet
+    got shouldBe Set(("new1", "old1")) // ...and verify removes it
+    all(collected.map(_._3)) should be >= cfg.theta
+  }
+
   test("Queries ADT plans and executes; incompatible corpus rejected at plan time (Q2 semantics)") {
     val s = spark
     import s.implicits._
