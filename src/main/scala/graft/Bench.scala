@@ -367,6 +367,16 @@ object Bench {
       tWeakRuns += pipelineInChildJvm(n, weakConvs)
     if (tWeakRuns.isEmpty) skipped += "weak"
     else if (tWeakRuns.length == 1) skipped += "weak_single_run"
+    // Replicate the STRONG numerator too, before any optional stage: the
+    // r05 rehearsal recorded efficiency 1.353 off a single 312 s narrow run
+    // (reps_capped_at_1 + a top-up rotation whose remaining budget only fit
+    // the cheap wide/weak series) — the same single-shot-numerator bias the
+    // weak stage was reordered for, now on the headline pair. One narrow
+    // run costs ~310 s vs ~460 s for a full rep; the wide side already has
+    // two runs from the mandatory rep.
+    while (tNRuns.length < 2 && remaining > 1.3 * tNRuns.min + 10)
+      tNRuns += pipelineInChildJvm(n, scaleConvs)
+    if (tNRuns.length == 1) skipped += "strong_narrow_single_run"
     var reps = 1
     while (reps < maxReps && remaining > repCost + phasesEst + controlEst) {
       repCost = (repCost + runRep()) / 2 // smoothed

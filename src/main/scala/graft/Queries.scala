@@ -47,13 +47,19 @@ object Queries {
     */
   final case class ExactKnn(k: Int, queriesFilter: DataFrame => DataFrame = identity,
                             similarity: Knn.Similarity = Knn.Similarity.Cosine) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
-  /** Hyperplane-LSH knn (≙ CosineLsh). */
+  /** Hyperplane-LSH knn (≙ CosineLsh). Callers that know `dims` skip the
+    * plan-time LIMIT-1 probe job (and its empty-corpus failure mode).
+    */
   final case class CosineLshKnn(k: Int, numTables: Int = 32, rowsPerBand: Int = 8,
-                                queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
-  /** L2 (p-stable) LSH knn with optional multiprobe (≙ `L2Lsh(probes)`). */
+                                queriesFilter: DataFrame => DataFrame = identity,
+                                dims: Int = -1) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+  /** L2 (p-stable) LSH knn with optional multiprobe (≙ `L2Lsh(probes)`).
+    * `dims` as in [[CosineLshKnn]].
+    */
   final case class L2LshKnn(k: Int, numTables: Int = 24, rowsPerBand: Int = 2, w: Int = 4,
                             probes: Int = 0,
-                            queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
+                            queriesFilter: DataFrame => DataFrame = identity,
+                            dims: Int = -1) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
   /** Permutation-LSH top-k (≙ `PermutationLsh`), freq-aware hit counting. */
   final case class PermutationKnn(k: Int, poolSize: Int = 16, repeating: Boolean = true,
                                   queriesFilter: DataFrame => DataFrame = identity) extends DedupQuery { val corpus: CorpusKind = VectorCorpus }
@@ -121,12 +127,12 @@ object Queries {
       case (KnnById(ids, k, sim), _, _) =>
         Knn.exactTopK(corpus.filter(col("vec_id").isin(ids: _*)), corpus, k, sim)
 
-      case (CosineLshKnn(k, l, r, qf), _, _) =>
-        Knn.lshTopK(spark, qf(corpus), corpus, k, numTables = l, rowsPerBand = r)
+      case (CosineLshKnn(k, l, r, qf, dims), _, _) =>
+        Knn.lshTopK(spark, qf(corpus), corpus, k, numTables = l, rowsPerBand = r, dims = dims)
 
-      case (L2LshKnn(k, l, r, w, probes, qf), _, _) =>
+      case (L2LshKnn(k, l, r, w, probes, qf, dims), _, _) =>
         Knn.l2LshTopK(spark, qf(corpus), corpus, k, numTables = l, rowsPerBand = r,
-          w = w, probes = probes)
+          w = w, probes = probes, dims = dims)
 
       case (PermutationKnn(k, pool, repeating, qf), _, _) =>
         Knn.permutationTopK(spark, qf(corpus), corpus, k, poolSize = pool, repeating = repeating)

@@ -250,15 +250,18 @@ object SparkEntry {
         col("conv_id").cast("long").as("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))),
 
+    // simhash-only kernel: the full signature kernel would compute (and
+    // discard) L·r MinHash permutations per doc for this fingerprint query
     "q_simhash" -> ((s, dir) =>
-      sigsForDocs(s, dir).select(col("conv_id").cast("long").as("doc_id"), col("simhash"))),
+      operators.Signatures.simhashSignatures(s, docsAsCorpus(s, dir), docCfg)
+        .select(col("conv_id").cast("long").as("doc_id"), col("simhash"))),
 
     "q_simhash_dup_pairs" -> ((s, dir) => {
       // SimHash path: band fingerprints → the SAME skew-safe bucket scan as
       // the MinHash/embedding paths (hot fingerprint bands take the salted
       // block join) → exact Hamming verify (E3 analog). Zero-padded ids so
       // the scan's binary pair order equals the numeric oracle order.
-      val fps = sigsForDocs(s, dir).select(col("conv_id"), col("simhash"))
+      val fps = operators.Signatures.simhashSignatures(s, docsAsCorpus(s, dir), docCfg)
       SimHashPairs.dupPairs(fps, docCfg.simHashBands, minSim = 0.9, bucketCap = docCfg.bucketCap)
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
           col("simhash_sim"))
@@ -421,7 +424,7 @@ object SparkEntry {
     "q_knn_l2_lsh" -> ((s, dir) =>
       Queries.run(s, embeddingsDf(s, dir),
           Queries.L2LshKnn(5, numTables = 24, rowsPerBand = 2, w = 4, probes = 0,
-            queriesFilter = _.filter(col("vec_id") < 20)))
+            queriesFilter = _.filter(col("vec_id") < 20), dims = embDims))
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))),
 
     // ---- L2 multiprobe (H4 probing variant, ≙ L2LshModel.java:88-140):
@@ -429,7 +432,7 @@ object SparkEntry {
     "q_knn_l2_multiprobe" -> ((s, dir) =>
       Queries.run(s, embeddingsDf(s, dir),
           Queries.L2LshKnn(5, numTables = 12, rowsPerBand = 2, w = 4, probes = 6,
-            queriesFilter = _.filter(col("vec_id") < 20)))
+            queriesFilter = _.filter(col("vec_id") < 20), dims = embDims))
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))),
 
     // ---- exact knn under the L2 and L1 similarities (the reference's

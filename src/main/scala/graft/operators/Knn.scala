@@ -61,7 +61,12 @@ object Knn {
   def l1DistCol(a: String, b: String): Column = l1DistColC(col(a), col(b))
 
   /** L2 similarity 1/(1+dist) ≙ `ExactModel.l2Similarity`. */
-  def l2SimCol(a: String, b: String): Column = lit(1.0) / (lit(1.0) + l2DistCol(a, b))
+  def l2SimColC(a: Column, b: Column): Column = lit(1.0) / (lit(1.0) + l2DistColC(a, b))
+
+  def l2SimCol(a: String, b: String): Column = l2SimColC(col(a), col(b))
+
+  /** L1 similarity 1/(1+dist) ≙ `ExactModel.l1Similarity`. */
+  def l1SimColC(a: Column, b: Column): Column = lit(1.0) / (lit(1.0) + l1DistColC(a, b))
 
   /** Exact-knn similarity family — ≙ the reference's `Similarity` enum
     * (`/root/reference/elastiknn-api4s/.../api/Similarity.scala:3-5`) for
@@ -87,8 +92,8 @@ object Knn {
     */
   def simColC(similarity: Similarity, a: Column, b: Column): Column = similarity match {
     case Similarity.Cosine => cosineColC(a, b)
-    case Similarity.L2     => lit(1.0) / (lit(1.0) + l2DistColC(a, b))
-    case Similarity.L1     => lit(1.0) / (lit(1.0) + l1DistColC(a, b))
+    case Similarity.L2     => l2SimColC(a, b)
+    case Similarity.L1     => l1SimColC(a, b)
     case Similarity.Dot    => dotColC(a, b)
   }
 

@@ -47,6 +47,8 @@ class CheckpointedPipelineSpec extends AnyFunSuite with Matchers with BeforeAndA
     Seq("signatures", "pairs", "clusters").foreach { st =>
       Files.exists(Paths.get(s"$workDir/$st/_lineage.json")) shouldBe true
     }
+    // a cold corpus records the skew counters too, with zero salted work
+    Files.readString(Paths.get(s"$workDir/pairs/_lineage.json")) should include(""""hot_buckets":""")
     // signatures laid out by stable id-hash bucket for per-bucket resume
     Files.list(Paths.get(s"$workDir/signatures")).iterator().hasNext shouldBe true
 
@@ -87,10 +89,6 @@ class CheckpointedPipelineSpec extends AnyFunSuite with Matchers with BeforeAndA
       val saltedPairs = """"salted_pairs":(\d+)""".r.findFirstMatchIn(lineage).map(_.group(1).toLong)
       hotBuckets.getOrElse(fail(s"no hot_buckets in lineage: $lineage")) should be > 0L
       saltedPairs.getOrElse(fail(s"no salted_pairs in lineage: $lineage")) should be > 0L
-      // the cold-corpus lineage from the main test records the fields too,
-      // with zero work routed to the salted path
-      val cold = Files.readString(Paths.get(s"$workDir/pairs/_lineage.json"))
-      cold should include(""""hot_buckets":""")
     } finally new Directory(new java.io.File(work)).deleteRecursively()
   }
 }
