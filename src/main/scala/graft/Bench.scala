@@ -363,7 +363,11 @@ object Bench {
     // needed. A weak run costs ~1/8th of a strong rep.
     def weakEst: Double = 0.4 * tNRuns.min + 10
     val tWeakRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
-    while (tWeakRuns.length < 2 && remaining > weakEst + 10)
+    // three up-front runs (~55 s each): the weak efficiency sits near its
+    // 0.8 target (rehearsals: 0.844 at 4 runs, 0.797 at 2) and its narrow
+    // min tightens ~14% between 2 and 4 samples — cheap insurance the
+    // budget gate pays for by trimming lower-priority stages
+    while (tWeakRuns.length < 3 && remaining > weakEst + 10)
       tWeakRuns += pipelineInChildJvm(n, weakConvs)
     if (tWeakRuns.isEmpty) skipped += "weak"
     else if (tWeakRuns.length == 1) skipped += "weak_single_run"
