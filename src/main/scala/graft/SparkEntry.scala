@@ -525,6 +525,35 @@ object SparkEntry {
       out
     }),
 
+    // ---- incremental append (the daily-ingest shape): index the "u"
+    //      originals first, then append the "d" near-dup copies WITHOUT
+    //      re-running the signature kernel over the index — new×old
+    //      candidates come from the salted band join against the
+    //      checkpointed reps, clusters merge through the prior star edges.
+    //      The combined labeling must equal the full-corpus closure:
+    //      oracle = the same recursive-CTE SQL as q_transcript_clusters ----
+    "q_incremental_clusters" -> ((s, dir) => {
+      val scratchBase = java.nio.file.Paths.get(
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp")
+      val work = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt-i").toString
+      val ts = eventTranscripts(s, dir)
+      plans.CheckpointedPipeline.run(s, ts.filter(col("conv_id").startsWith("u")),
+        DedupConfig(), work, nBuckets = 16)
+      val (combined, stages) = plans.CheckpointedPipeline.append(s,
+        ts.filter(col("conv_id").startsWith("d")), DedupConfig(), work, nBuckets = 16)
+      require(stages.map(_.name) == Seq("signatures_append", "pairs_increment", "clusters"),
+        s"append must run its three incremental stages: $stages")
+      val out = combined
+        .select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))
+        .localCheckpoint(true) // detach from the workDir parquet before deleting it
+      val p = java.nio.file.Paths.get(work)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+      out
+    }),
+
     // ---- Q1/Q2 query AST + compat dispatch end-to-end: the SAME cluster
     //      semantics as q_doc_clusters, but routed through Queries.run
     //      (plan-time dispatch → MinHash pipeline with exact-dup collapse) ----
@@ -1117,7 +1146,12 @@ object SparkEntry {
 
       // S6 resume surface: a resumed run must emit exactly the clusters a
       // fresh run would — same oracle as the in-memory flagship query
-      "q_checkpointed_clusters" -> transcriptClustersSql
+      "q_checkpointed_clusters" -> transcriptClustersSql,
+
+      // incremental-append surface: index "u" convs, append "d" convs —
+      // the combined labeling must equal the full-corpus closure, so the
+      // oracle is the same recursive-CTE components SQL
+      "q_incremental_clusters" -> transcriptClustersSql
     )
   }
 }

@@ -150,4 +150,112 @@ object CheckpointedPipeline {
 
     (clusters, stages.toSeq)
   }
+
+  /** Incrementally label a batch of NEW conversations against an existing
+    * checkpointed run — the daily-ingest shape at 10^12-turn scale, where
+    * re-running the signature kernel over the whole corpus per batch is the
+    * cost that matters. The expensive work is batch-proportional:
+    *
+    *   - the signature kernel runs over the new batch only;
+    *   - new×new candidates take the same exact-collapse → skew-safe scan →
+    *     verify path as the full pipeline;
+    *   - new×old candidates come from a hot-band-salted band join of the new
+    *     representatives against the checkpointed signatures (the batch form
+    *     of the streaming stream-vs-index shape — the index is chunked per
+    *     hot band, the batch side explodes across the chunks), then exact
+    *     verify; the old side is scanned, never re-hashed;
+    *   - clusters merge through connected components over the prior
+    *     (member → cluster_id) star edges plus the new verified pairs. A new
+    *     doc that bridges two old clusters merges them, exactly as a full
+    *     recompute would: the star edges preserve each old component's
+    *     transitive closure, and deterministic seeded signatures make the
+    *     incremental candidate set {new×new} ∪ {new×old} equal to what a
+    *     combined-corpus scan would add (old×old pairs are already inside
+    *     the prior components). Equivalence is sbt-tested.
+    *
+    * State afterwards: the new signature rows are APPENDED into
+    * `signatures/` (same bucket layout) and `clusters/` is overwritten with
+    * the combined labeling; both lineage sidecars are re-keyed to a chained
+    * fingerprint hash(prior chain + new-batch fingerprint), so a later
+    * `run`/`append` either matches the chain exactly or rebuilds — stale
+    * reuse of a mutated checkpoint is impossible. New conv_ids must be
+    * disjoint from the indexed ones (the input contract's conv_id identity).
+    *
+    * @return combined (conv_id, cluster_id, is_canonical) + per-stage info
+    */
+  def append(spark: SparkSession, newTranscripts: DataFrame, cfg: DedupConfig,
+             workDir: String, nBuckets: Int = 64): (DataFrame, Seq[StageInfo]) = {
+    val sigDir = s"$workDir/signatures"
+    val cluDir = s"$workDir/clusters"
+    require(Files.exists(lineagePath(sigDir)) && Files.exists(lineagePath(cluDir)),
+      s"append requires a completed run in $workDir (signatures + clusters lineage)")
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageInfo]
+    val priorChain = {
+      // the full prior lineage JSON (config hash incl. input fingerprint +
+      // row count) is the chain link — any mismatch downstream rebuilds
+      Files.readString(lineagePath(sigDir))
+    }
+    val newFp = inputFingerprint(newTranscripts)
+    val chainedHash =
+      java.lang.Long.toHexString(Hashing.hashString(priorChain + "+" + newFp)) + "-app-" + newFp
+
+    val t0 = System.nanoTime()
+    val oldSigs = spark.read.parquet(sigDir)
+    val newSigs = Dedup.signatures(spark, Dedup.documents(newTranscripts), cfg)
+      .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
+      .localCheckpoint(eager = true)
+    val newRows = newSigs.count()
+    stages += StageInfo("signatures_append", newRows, (System.nanoTime() - t0) / 1e9, reused = false)
+
+    val t1 = System.nanoTime()
+    // exact collapse within the new batch (identical new docs cost m mapping
+    // rows, not m²/2 pairs), then both candidate families over reps only
+    val groups = Dedup.repGroups(newSigs).localCheckpoint(eager = true)
+    val mappingNew = Dedup.mappingFrom(newSigs, groups)
+    val repBands = groups.select(col("rep").as("conv_id"), col("bands"))
+    val candMetrics = graft.operators.CandidatePairs.CandidateMetrics.register(spark)
+    val newNew = Dedup.verify(Dedup.candidates(repBands, cfg, Some(candMetrics)), newSigs, cfg)
+      .select(col("id_a"), col("id_b"))
+    // new reps vs the checkpointed index: salted stream-vs-index band join +
+    // exact verify (master-agnostic — the same operator the streaming
+    // surface runs). The index side is exact-collapsed to ITS reps first:
+    // the band join explodes L postings per index row, so probing reps
+    // instead of members shrinks the dominant exchange by the old corpus's
+    // duplication factor (a giant old exact-dup family — empty docs,
+    // boilerplate — costs one rep, and the old star edges already connect
+    // its members). Connectivity is unchanged: an edge to any member of an
+    // old component closes the same cluster as an edge to its rep.
+    val repIds = groups.select(col("rep").as("conv_id"))
+    val newRepSigs = newSigs.join(repIds, Seq("conv_id"), "left_semi")
+    val oldRepIds = Dedup.repGroups(oldSigs).select(col("rep").as("conv_id"))
+    val oldRepSigs = oldSigs.join(oldRepIds, Seq("conv_id"), "left_semi")
+    val newOld = graft.streaming.StreamingDedup.nearDupVerified(newRepSigs, oldRepSigs, cfg)
+      .select(col("conv_id").as("id_a"), col("matched_id").as("id_b"))
+    val starOld = spark.read.parquet(cluDir)
+      .filter(col("conv_id") =!= col("cluster_id"))
+      .select(col("conv_id").as("id_a"), col("cluster_id").as("id_b"))
+    val starNew = mappingNew.filter(col("conv_id") =!= col("rep"))
+      .select(col("conv_id").as("id_a"), col("rep").as("id_b"))
+    val edges = newNew.unionByName(newOld).unionByName(starOld).unionByName(starNew)
+      .localCheckpoint(eager = true)
+    stages += StageInfo("pairs_increment", edges.count(), (System.nanoTime() - t1) / 1e9, reused = false)
+
+    val t2 = System.nanoTime()
+    val vertices = spark.read.parquet(cluDir).select(col("conv_id"))
+      .unionByName(newSigs.select(col("conv_id")))
+    val clusters = ConnectedComponents.assign(vertices, edges)
+      .withColumn("is_canonical", (col("conv_id") === col("cluster_id")).cast("boolean"))
+      .localCheckpoint(eager = true) // detach from cluDir parquet before overwriting it
+
+    // persist the combined state: signatures appended in the same bucket
+    // layout, clusters overwritten, lineage re-keyed to the chain
+    newSigs.write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
+    writeLineage(sigDir, "signatures", chainedHash, "transcripts+append", newRows, 0.0, nBuckets)
+    clusters.write.mode(SaveMode.Overwrite).parquet(cluDir)
+    val out = spark.read.parquet(cluDir)
+    val rows = out.count()
+    writeLineage(cluDir, "clusters", chainedHash, s"pairs/$chainedHash", rows, 0.0, nBuckets)
+    stages += StageInfo("clusters", rows, (System.nanoTime() - t2) / 1e9, reused = false)
+    (out, stages.toSeq)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.plans.CheckpointedPipeline
 import graft.sources.TranscriptGen
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, pmod, substring}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import org.scalatest.BeforeAndAfterAll
@@ -68,6 +69,72 @@ class CheckpointedPipelineSpec extends AnyFunSuite with Matchers with BeforeAndA
     all(s4.map(_.reused)) shouldBe false
     // same clusters at this corpus (lower L still finds the planted dups)
     clustersMap(c4) shouldBe m1
+  }
+
+  test("incremental append equals full recompute, including clusters merged across the split") {
+    // split the planted corpus so every block's near-dup (pos 7) and
+    // noisy copy (pos 8) arrive AFTER their original (pos 6) is indexed —
+    // the daily-ingest shape, with guaranteed cross-batch merges
+    val cfg = DedupConfig()
+    val allT = TranscriptGen.df(spark, 400L)
+    val pos = pmod(substring(col("conv_id"), 6, 8).cast("long"), lit(10))
+    val old = allT.filter(pos <= 6 || pos === 9)
+    val batch1 = allT.filter(pos === 7)
+    val batch2 = allT.filter(pos === 8)
+
+    val wdFull = Files.createTempDirectory("graft-ckpt-full").toString
+    val wdInc = Files.createTempDirectory("graft-ckpt-inc").toString
+    try {
+      val (full, _) = CheckpointedPipeline.run(spark, allT, cfg, wdFull, nBuckets = 8)
+      val fullMap = clustersMap(full)
+
+      CheckpointedPipeline.run(spark, old, cfg, wdInc, nBuckets = 8)
+      val (_, st1) = CheckpointedPipeline.append(spark, batch1, cfg, wdInc, nBuckets = 8)
+      st1.map(_.name) shouldBe Seq("signatures_append", "pairs_increment", "clusters")
+      // chained append: the second batch runs against the mutated state
+      val (inc, _) = CheckpointedPipeline.append(spark, batch2, cfg, wdInc, nBuckets = 8)
+      val incMap = clustersMap(inc)
+
+      incMap shouldBe fullMap
+      // the test must actually exercise cross-batch merging: every block's
+      // pos-7/pos-8 conv lands in its pos-6 original's cluster
+      val merged = incMap.count { case (id, cl) => id != cl &&
+        (id.drop(5).toLong % 10 == 7 || id.drop(5).toLong % 10 == 8) }
+      merged should be > 50 // 80 planted cross-batch dups; near-dup recall ≥ 0.99
+
+      // appended signature state stays usable: a fresh full `run` over the
+      // combined input in the same workDir rebuilds (chained lineage ≠ the
+      // combined fingerprint — no stale reuse) and still agrees
+      val (rerun, st3) = CheckpointedPipeline.run(spark, allT, cfg, wdInc, nBuckets = 8)
+      all(st3.map(_.reused)) shouldBe false
+      clustersMap(rerun) shouldBe fullMap
+    } finally {
+      new Directory(new java.io.File(wdFull)).deleteRecursively()
+      new Directory(new java.io.File(wdInc)).deleteRecursively()
+    }
+  }
+
+  test("an appended doc bridging two old clusters merges them") {
+    val s = spark
+    import s.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def conv(id: String, text: String) = (id, 0, "user", text, "", ts)
+    val aText = (1 to 30).map(i => s"a$i").mkString(" ")
+    val bText = (1 to 30).map(i => s"b$i").mkString(" ")
+    // J(A,B) = 0; J(A+B, A) = 28/58 ≈ 0.48 — the bridge needs a sub-0.5
+    // threshold, and r=1/minBands=1 makes banding complete at that sim
+    val cfg = DedupConfig(rowsPerBand = 1, minBands = 1, theta = 0.45)
+    val old = Seq(conv("A", aText), conv("B", bText))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val bridge = Seq(conv("C", s"$aText $bText"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val wd = Files.createTempDirectory("graft-ckpt-bridge").toString
+    try {
+      val (before, _) = CheckpointedPipeline.run(spark, old, cfg, wd, nBuckets = 2)
+      clustersMap(before) shouldBe Map("A" -> "A", "B" -> "B") // two singleton clusters
+      val (after, _) = CheckpointedPipeline.append(spark, bridge, cfg, wd, nBuckets = 2)
+      clustersMap(after) shouldBe Map("A" -> "A", "B" -> "A", "C" -> "A") // merged through C
+    } finally new Directory(new java.io.File(wd)).deleteRecursively()
   }
 
   test("lineage records hot-bucket/salted-path metrics on a boilerplate-family corpus (no silent caps)") {
