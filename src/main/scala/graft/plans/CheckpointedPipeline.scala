@@ -178,8 +178,20 @@ object CheckpointedPipeline {
     * the combined labeling; both lineage sidecars are re-keyed to a chained
     * fingerprint hash(prior chain + new-batch fingerprint), so a later
     * `run`/`append` either matches the chain exactly or rebuilds — stale
-    * reuse of a mutated checkpoint is impossible. New conv_ids must be
-    * disjoint from the indexed ones (the input contract's conv_id identity).
+    * reuse of a mutated checkpoint is impossible.
+    *
+    * Mutation-safety gates (the parquet append + two lineage writes are not
+    * atomic, so torn state must be DETECTED, not assumed away): before
+    * touching anything, append requires (a) the signatures and clusters
+    * sidecars to carry the same config hash — a crash between the two
+    * lineage writes leaves them disagreeing; (b) the signatures parquet row
+    * count to equal the count its lineage records — a crash between the
+    * parquet append and the lineage write leaves data the chain doesn't
+    * cover; and (c) the new batch's conv_ids to be disjoint from the index
+    * (an at-least-once upstream redelivering a batch would otherwise
+    * silently duplicate index rows and cluster labels). (b) and (c) share
+    * one narrow pass over the index's conv_id column — the price of safe
+    * mutation. On violation append fails fast; rebuild with `run`.
     *
     * @return combined (conv_id, cluster_id, is_canonical) + per-stage info
     */
@@ -190,11 +202,19 @@ object CheckpointedPipeline {
     require(Files.exists(lineagePath(sigDir)) && Files.exists(lineagePath(cluDir)),
       s"append requires a completed run in $workDir (signatures + clusters lineage)")
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageInfo]
-    val priorChain = {
-      // the full prior lineage JSON (config hash incl. input fingerprint +
-      // row count) is the chain link — any mismatch downstream rebuilds
-      Files.readString(lineagePath(sigDir))
-    }
+    // the full prior signatures lineage JSON (config hash incl. input
+    // fingerprint + row count) is the chain link — any mismatch downstream
+    // rebuilds
+    val priorChain = Files.readString(lineagePath(sigDir))
+    val cluChain = Files.readString(lineagePath(cluDir))
+    def strField(json: String, name: String): String =
+      (s""""$name":"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    def longField(json: String, name: String): Long =
+      (s""""$name":(-?\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    require(strField(priorChain, "config_hash") == strField(cluChain, "config_hash"),
+      s"torn checkpoint in $workDir: signatures and clusters lineage record different " +
+        "config hashes (a prior run/append died between its lineage writes) — rebuild with run()")
+    val priorRows = longField(priorChain, "rows")
     val newFp = inputFingerprint(newTranscripts)
     val chainedHash =
       java.lang.Long.toHexString(Hashing.hashString(priorChain + "+" + newFp)) + "-app-" + newFp
@@ -205,6 +225,19 @@ object CheckpointedPipeline {
       .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
       .localCheckpoint(eager = true)
     val newRows = newSigs.count()
+    // gates (b)+(c) in one pass: index row count vs lineage, and id overlap
+    // with the new batch (conv_id is unique per side, so left-join
+    // multiplicity is ≤1 and count(_new) = |old ids ∩ new ids|)
+    val chk = oldSigs.select(col("conv_id"))
+      .join(newSigs.select(col("conv_id")).withColumn("_new", lit(1)), Seq("conv_id"), "left")
+      .agg(count(lit(1)).as("n"), count(col("_new")).as("overlap")).first()
+    require(chk.getLong(0) == priorRows,
+      s"torn checkpoint in $workDir: signatures/ holds ${chk.getLong(0)} rows but its lineage " +
+        s"records $priorRows (a prior append died between the parquet append and the lineage " +
+        "write) — rebuild with run()")
+    require(chk.getLong(1) == 0L,
+      s"${chk.getLong(1)} conv_ids in the new batch already exist in the index — append " +
+        "requires disjoint conv_ids (redelivered batch?); dedupe upstream or rebuild with run()")
     stages += StageInfo("signatures_append", newRows, (System.nanoTime() - t0) / 1e9, reused = false)
 
     val t1 = System.nanoTime()
@@ -227,11 +260,16 @@ object CheckpointedPipeline {
     // old component closes the same cluster as an edge to its rep.
     val repIds = groups.select(col("rep").as("conv_id"))
     val newRepSigs = newSigs.join(repIds, Seq("conv_id"), "left_semi")
-    val oldRepIds = Dedup.repGroups(oldSigs).select(col("rep").as("conv_id"))
+    // rep ids only — NOT Dedup.repGroups, whose min_by(struct(conv_id,
+    // bands)) would ship the whole old corpus's bands payload through the
+    // exchange just to be projected away here
+    val oldRepIds = oldSigs.groupBy(col("set_hash")).agg(min(col("conv_id")).as("rep"))
+      .select(col("rep").as("conv_id"))
     val oldRepSigs = oldSigs.join(oldRepIds, Seq("conv_id"), "left_semi")
     val newOld = graft.streaming.StreamingDedup.nearDupVerified(newRepSigs, oldRepSigs, cfg)
       .select(col("conv_id").as("id_a"), col("matched_id").as("id_b"))
-    val starOld = spark.read.parquet(cluDir)
+    val priorClusters = spark.read.parquet(cluDir)
+    val starOld = priorClusters
       .filter(col("conv_id") =!= col("cluster_id"))
       .select(col("conv_id").as("id_a"), col("cluster_id").as("id_b"))
     val starNew = mappingNew.filter(col("conv_id") =!= col("rep"))
@@ -241,20 +279,26 @@ object CheckpointedPipeline {
     stages += StageInfo("pairs_increment", edges.count(), (System.nanoTime() - t1) / 1e9, reused = false)
 
     val t2 = System.nanoTime()
-    val vertices = spark.read.parquet(cluDir).select(col("conv_id"))
+    val vertices = priorClusters.select(col("conv_id"))
       .unionByName(newSigs.select(col("conv_id")))
     val clusters = ConnectedComponents.assign(vertices, edges)
       .withColumn("is_canonical", (col("conv_id") === col("cluster_id")).cast("boolean"))
       .localCheckpoint(eager = true) // detach from cluDir parquet before overwriting it
 
     // persist the combined state: signatures appended in the same bucket
-    // layout, clusters overwritten, lineage re-keyed to the chain
+    // layout, clusters overwritten, lineage re-keyed to the chain. The sig
+    // lineage records the COMBINED row count (what the directory now holds —
+    // the next append's torn-state gate checks against it) and the measured
+    // wall times + skew counters land in the sidecars, same as run()
     newSigs.write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
-    writeLineage(sigDir, "signatures", chainedHash, "transcripts+append", newRows, 0.0, nBuckets)
+    writeLineage(sigDir, "signatures", chainedHash, "transcripts+append",
+      priorRows + newRows, (System.nanoTime() - t0) / 1e9, nBuckets)
     clusters.write.mode(SaveMode.Overwrite).parquet(cluDir)
     val out = spark.read.parquet(cluDir)
     val rows = out.count()
-    writeLineage(cluDir, "clusters", chainedHash, s"pairs/$chainedHash", rows, 0.0, nBuckets)
+    writeLineage(cluDir, "clusters", chainedHash, s"pairs/$chainedHash", rows,
+      (System.nanoTime() - t2) / 1e9, nBuckets,
+      extra = s""","hot_buckets":${candMetrics.hotBuckets.value},"hot_postings":${candMetrics.hotPostings.value},"salted_pairs":${candMetrics.saltedPairs.value}""")
     stages += StageInfo("clusters", rows, (System.nanoTime() - t2) / 1e9, reused = false)
     (out, stages.toSeq)
   }

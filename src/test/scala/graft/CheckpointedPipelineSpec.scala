@@ -137,6 +137,56 @@ class CheckpointedPipelineSpec extends AnyFunSuite with Matchers with BeforeAndA
     } finally new Directory(new java.io.File(wd)).deleteRecursively()
   }
 
+  test("append fails fast on redelivered batches and torn checkpoint state instead of corrupting") {
+    val s = spark
+    import s.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def conv(id: String, text: String) = (id, 0, "user", text, "", ts)
+    val cfg = DedupConfig()
+    val old = Seq(conv("A", (1 to 30).map(i => s"a$i").mkString(" ")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val batch = Seq(conv("B", (1 to 30).map(i => s"b$i").mkString(" ")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val wd = Files.createTempDirectory("graft-ckpt-gate").toString
+    val sigLineage = Paths.get(wd, "signatures", "_lineage.json")
+    val cluLineage = Paths.get(wd, "clusters", "_lineage.json")
+    try {
+      CheckpointedPipeline.run(spark, old, cfg, wd, nBuckets = 2)
+      CheckpointedPipeline.append(spark, batch, cfg, wd, nBuckets = 2)
+
+      // redelivered batch: B is already indexed → reject, don't duplicate
+      val e1 = intercept[IllegalArgumentException] {
+        CheckpointedPipeline.append(spark, batch, cfg, wd, nBuckets = 2)
+      }
+      e1.getMessage should include("already exist in the index")
+
+      // torn data-vs-lineage: lineage row count disagrees with the parquet
+      val goodSig = Files.readString(sigLineage)
+      Files.writeString(sigLineage, goodSig.replaceFirst(""""rows":\d+""", """"rows":999"""))
+      val more = Seq(conv("C", (1 to 30).map(i => s"c$i").mkString(" ")))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val e2 = intercept[IllegalArgumentException] {
+        CheckpointedPipeline.append(spark, more, cfg, wd, nBuckets = 2)
+      }
+      e2.getMessage should include("lineage")
+      Files.writeString(sigLineage, goodSig)
+
+      // torn lineage-vs-lineage: sidecars disagree on config hash
+      val goodClu = Files.readString(cluLineage)
+      Files.writeString(cluLineage,
+        goodClu.replaceFirst(""""config_hash":"[^"]*"""", """"config_hash":"deadbeef""""))
+      val e3 = intercept[IllegalArgumentException] {
+        CheckpointedPipeline.append(spark, more, cfg, wd, nBuckets = 2)
+      }
+      e3.getMessage should include("different config hashes")
+      Files.writeString(cluLineage, goodClu)
+
+      // state restored: a valid append still works
+      val (after, _) = CheckpointedPipeline.append(spark, more, cfg, wd, nBuckets = 2)
+      clustersMap(after).keySet shouldBe Set("A", "B", "C")
+    } finally new Directory(new java.io.File(wd)).deleteRecursively()
+  }
+
   test("lineage records hot-bucket/salted-path metrics on a boilerplate-family corpus (no silent caps)") {
     val s = spark
     import s.implicits._
