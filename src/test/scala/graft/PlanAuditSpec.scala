@@ -133,6 +133,39 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     exchanges.filter(_.contains("band")).foreach(b => b should not include "shingles")
   }
 
+  test("incremental append's old side: rep aggregation moves no bands payload; new×old join has no cartesian") {
+    import org.apache.spark.sql.functions.{col, min}
+    val cfg = DedupConfig()
+    val sigs = Dedup.signatures(spark,
+      Dedup.documents(graft.sources.TranscriptGen.df(spark, 100L).toDF()), cfg).localCheckpoint(true)
+    // mirror CheckpointedPipeline.append's old-side shapes: the rep-id
+    // derivation must aggregate (set_hash, conv_id) only — Dedup.repGroups'
+    // min_by(struct(conv_id, bands)) would ship the whole index's bands
+    // through the exchange just to be projected away
+    val oldRepIds = sigs.groupBy(col("set_hash")).agg(min(col("conv_id")).as("rep"))
+      .select(col("rep").as("conv_id"))
+    val p1 = oldRepIds.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val repExchanges = p1.split("\\n\\(\\d+\\) ").toSeq
+      .filter(b => b.startsWith("Exchange") || b.startsWith("AQEShuffleRead"))
+    repExchanges should not be empty
+    repExchanges.foreach { b =>
+      b should not include "bands"
+      b should not include "shingles"
+    }
+    // the new×old candidate join (the batch replay of the stream-vs-index
+    // operator append uses): skew-chunked band join, no cartesian, band
+    // exchanges free of the shingle payload
+    val oldRepSigs = sigs.join(oldRepIds, Seq("conv_id"), "left_semi")
+    val p2 = graft.streaming.StreamingDedup.nearDupVerified(sigs, oldRepSigs, cfg)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    p2 should not include "CartesianProduct"
+    p2 should not include "BroadcastNestedLoopJoin"
+    p2.split("\\n\\(\\d+\\) ").toSeq
+      .filter(b => b.startsWith("Exchange") || b.startsWith("AQEShuffleRead"))
+      .filter(_.contains("band"))
+      .foreach(b => b should not include "shingles")
+  }
+
   test("the flagship pipeline contains no CartesianProduct or BroadcastNestedLoopJoin") {
     val df = Dedup.pipeline(spark, graft.sources.TranscriptGen.df(spark, 100L), DedupConfig())
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
