@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Transcripts (conv_id, turn_idx, role, text, tool, ts) → one document
-    * row per conversation.
+    * row per conversation. The pipeline shape: (conv_id, doc_text, n_turns,
+    * n_chars) — the signature stage consumes only the first three, so the
+    * first_ts/last_ts columns of the full [[Assembly.assemble]] contract
+    * (and their per-row Timestamp materialization) are not paid for here.
     */
-  def documents(transcripts: DataFrame): DataFrame = Assembly.assemble(transcripts)
+  def documents(transcripts: DataFrame): DataFrame = Assembly.assembleDocs(transcripts)
 
   /** Documents (conv_id, doc_text[, n_turns]) → signatures (shingles, bands,
     * simhash).

@@ -509,7 +509,10 @@ object SparkEntry {
       val scratchBase = java.nio.file.Paths.get(
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp")
       val work = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt-q").toString
-      val ts = eventTranscripts(s, dir)
+      // materialize the derived transcripts once: the fingerprint pass and
+      // the signature scan of BOTH run() calls otherwise each recompute the
+      // two event windows + union (same rows either way)
+      val ts = eventTranscripts(s, dir).localCheckpoint(true)
       val (_, firstStages) = plans.CheckpointedPipeline.run(s, ts, DedupConfig(), work, nBuckets = 16)
       require(firstStages.forall(!_.reused), s"fresh workDir must compute all stages: $firstStages")
       val (resumed, secondStages) = plans.CheckpointedPipeline.run(s, ts, DedupConfig(), work, nBuckets = 16)
@@ -536,7 +539,9 @@ object SparkEntry {
       val scratchBase = java.nio.file.Paths.get(
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp")
       val work = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt-i").toString
-      val ts = eventTranscripts(s, dir)
+      // one materialization feeds the index run's fingerprint+signatures AND
+      // the append's (u/d filters prune from the same cached blocks)
+      val ts = eventTranscripts(s, dir).localCheckpoint(true)
       plans.CheckpointedPipeline.run(s, ts.filter(col("conv_id").startsWith("u")),
         DedupConfig(), work, nBuckets = 16)
       val (combined, stages) = plans.CheckpointedPipeline.append(s,

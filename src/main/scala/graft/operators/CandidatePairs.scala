@@ -79,9 +79,21 @@ object CandidatePairs {
     // unused) destined for the salted block join. A tagged union instead
     // of two outputs so the sorted postings stream is consumed once.
     type BucketOut = (String, String, java.lang.Long)
+    val outerDesc = spark.sparkContext.getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription("candidates:scan")
+    // EXPLICIT partition count: AQE sizes post-shuffle partitions by the
+    // exchanged posting BYTES, but this exchange feeds a pair enumeration
+    // whose output is quadratic in bucket sizes — on a corpus with many
+    // mid-size buckets AQE coalesces the postings to ONE partition and a
+    // single task enumerates millions of pairs serially (measured 3-4 s of
+    // the events-corpus pairs stage). The count is the session's
+    // spark.sql.shuffle.partitions (scale-adaptive conf, not a constant),
+    // i.e. exactly what AQE would use as its ceiling at scale — only the
+    // small-input coalescing is disabled (guide §8: the operator knows the
+    // blow-up, the optimizer cannot).
     val scanned = sigs
       .select(col("conv_id"), explode(col("bands")).as("band"))
-      .repartition(col("band"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt, col("band"))
       .sortWithinPartitions(col("band"))
       .select(col("band"), col("conv_id")).as[(Long, String)]
       .mapPartitions[BucketOut] { (iter: Iterator[(Long, String)]) =>
@@ -175,6 +187,7 @@ object CandidatePairs {
         org.apache.spark.sql.Encoders.LONG))
       .toDF("a", "b", "band")
       .localCheckpoint(true)
+    spark.sparkContext.setJobDescription(outerDesc)
 
     val smallPairs = scanned.filter(col("band").isNull)
       .select(col("a").as("id_a"), col("b").as("id_b"))

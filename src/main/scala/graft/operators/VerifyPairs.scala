@@ -86,8 +86,13 @@ object VerifyPairs {
     * OOM-by-maxResultSize at scale).
     */
   private def scoredPairs(pairs: DataFrame, sigs: DataFrame, broadcastPairs: Boolean): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val outerDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("verify:pairs")
     val pairsM = pairs.localCheckpoint(true)
+    sc.setJobDescription("verify:payload")
     val payload = memberPayload(pairsM, sigs, broadcastPairs).localCheckpoint(true)
+    sc.setJobDescription(outerDesc)
     val payloadA = payload.withColumnRenamed("conv_id", "id_a")
       .withColumnRenamed("shingles", "sh_a")
       .withColumnRenamed("simhash", "fp_a")

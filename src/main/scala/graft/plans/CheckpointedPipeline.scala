@@ -109,11 +109,13 @@ object CheckpointedPipeline {
         df
       } else {
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(s"ckpt:$name") // UI/job attribution (guide §1.5)
         val df = compute
         val writer = df.write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).parquet(dir)
         val out = spark.read.parquet(dir)
         val rows = out.count()
+        spark.sparkContext.setJobDescription(null)
         val wall = (System.nanoTime() - t0) / 1e9
         writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets, extraLineage())
         stages += StageInfo(name, rows, wall, reused = false)
@@ -126,6 +128,13 @@ object CheckpointedPipeline {
         .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
     }
 
+    // ONE set_hash aggregation serves both downstream stages (the pairs
+    // stage's rep bands AND the clusters stage's member→rep mapping) — the
+    // previous shape aggregated repGroups twice, paying the set_hash
+    // shuffle of the bands payload once per stage. Lazy: a fully-reused
+    // resume never computes it.
+    lazy val groups = Dedup.repGroups(sigs).localCheckpoint(eager = true)
+
     // skew counters land in the pairs lineage: which bands overflowed
     // bucketCap and how much work the salted path did is part of the
     // run's metrics record, not a silent internal detail
@@ -135,12 +144,14 @@ object CheckpointedPipeline {
         s""","hot_buckets":${candMetrics.hotBuckets.value},"hot_postings":${candMetrics.hotPostings.value},"salted_pairs":${candMetrics.saltedPairs.value}""") {
       // bands-only rep aggregation (same shape as Dedup.pipeline): the
       // shingle payload joins in member-reduced inside verify
-      Dedup.verify(Dedup.candidates(Dedup.repBands(sigs), cfg, Some(candMetrics)), sigs, cfg)
+      val repBands = groups.select(col("rep").as("conv_id"), col("bands"))
+      Dedup.verify(Dedup.candidates(repBands, cfg, Some(candMetrics)), sigs, cfg)
     }
 
     val clusters = stage("clusters", upstream = s"pairs/$cfgHash", partitionCols = Nil) {
-      val mapping = Dedup.exactGroups(sigs)
-      val reps = mapping.select(col("rep").as("conv_id")).distinct()
+      val mapping = Dedup.mappingFrom(sigs, groups)
+      // one row per group already — no distinct shuffle needed
+      val reps = groups.select(col("rep").as("conv_id"))
       val repClusters = ConnectedComponents.assign(reps, pairs.select("id_a", "id_b"))
       mapping
         .join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))
@@ -247,27 +258,48 @@ object CheckpointedPipeline {
     val mappingNew = Dedup.mappingFrom(newSigs, groups)
     val repBands = groups.select(col("rep").as("conv_id"), col("bands"))
     val candMetrics = graft.operators.CandidatePairs.CandidateMetrics.register(spark)
-    val newNew = Dedup.verify(Dedup.candidates(repBands, cfg, Some(candMetrics)), newSigs, cfg)
-      .select(col("id_a"), col("id_b"))
-    // new reps vs the checkpointed index: salted stream-vs-index band join +
-    // exact verify (master-agnostic — the same operator the streaming
-    // surface runs). The index side is exact-collapsed to ITS reps first:
-    // the band join explodes L postings per index row, so probing reps
-    // instead of members shrinks the dominant exchange by the old corpus's
-    // duplication factor (a giant old exact-dup family — empty docs,
-    // boilerplate — costs one rep, and the old star edges already connect
-    // its members). Connectivity is unchanged: an edge to any member of an
-    // old component closes the same cluster as an edge to its rep.
-    val repIds = groups.select(col("rep").as("conv_id"))
-    val newRepSigs = newSigs.join(repIds, Seq("conv_id"), "left_semi")
-    // rep ids only — NOT Dedup.repGroups, whose min_by(struct(conv_id,
-    // bands)) would ship the whole old corpus's bands payload through the
-    // exchange just to be projected away here
-    val oldRepIds = oldSigs.groupBy(col("set_hash")).agg(min(col("conv_id")).as("rep"))
-      .select(col("rep").as("conv_id"))
-    val oldRepSigs = oldSigs.join(oldRepIds, Seq("conv_id"), "left_semi")
-    val newOld = graft.streaming.StreamingDedup.nearDupVerified(newRepSigs, oldRepSigs, cfg)
-      .select(col("conv_id").as("id_a"), col("matched_id").as("id_b"))
+    // The new×new and new×old candidate families are independent until the
+    // edge union, and each is a serial chain of eager materializations
+    // (candidate scan, verify pair/payload checkpoints) — run them as two
+    // concurrent driver threads so one branch's job tail back-fills the
+    // other's idle width (guide §2.6); each branch ends in an eager
+    // localCheckpoint so its work really happens inside its thread. Spark
+    // job submission is thread-safe and job-scoped properties are
+    // thread-local, so the branches don't interfere.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (newNew, newOld) = try {
+      val fNewNew = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        override def call(): DataFrame =
+          Dedup.verify(Dedup.candidates(repBands, cfg, Some(candMetrics)), newSigs, cfg)
+            .select(col("id_a"), col("id_b"))
+            .localCheckpoint(true)
+      })
+      // new reps vs the checkpointed index: salted stream-vs-index band join +
+      // exact verify (master-agnostic — the same operator the streaming
+      // surface runs). The index side is exact-collapsed to ITS reps first:
+      // the band join explodes L postings per index row, so probing reps
+      // instead of members shrinks the dominant exchange by the old corpus's
+      // duplication factor (a giant old exact-dup family — empty docs,
+      // boilerplate — costs one rep, and the old star edges already connect
+      // its members). Connectivity is unchanged: an edge to any member of an
+      // old component closes the same cluster as an edge to its rep.
+      val fNewOld = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        override def call(): DataFrame = {
+          val repIds = groups.select(col("rep").as("conv_id"))
+          val newRepSigs = newSigs.join(repIds, Seq("conv_id"), "left_semi")
+          // rep ids only — NOT Dedup.repGroups, whose min_by(struct(conv_id,
+          // bands)) would ship the whole old corpus's bands payload through the
+          // exchange just to be projected away here
+          val oldRepIds = oldSigs.groupBy(col("set_hash")).agg(min(col("conv_id")).as("rep"))
+            .select(col("rep").as("conv_id"))
+          val oldRepSigs = oldSigs.join(oldRepIds, Seq("conv_id"), "left_semi")
+          graft.streaming.StreamingDedup.nearDupVerified(newRepSigs, oldRepSigs, cfg)
+            .select(col("conv_id").as("id_a"), col("matched_id").as("id_b"))
+            .localCheckpoint(true)
+        }
+      })
+      (fNewNew.get(), fNewOld.get())
+    } finally pool.shutdown()
     val priorClusters = spark.read.parquet(cluDir)
     val starOld = priorClusters
       .filter(col("conv_id") =!= col("cluster_id"))

@@ -125,8 +125,20 @@ object StreamingDedup {
       .join(broadcast(hotBands), Seq("band"), "left")
       .withColumn("salt", explode(sequence(lit(0), coalesce(col("g"), lit(1)) - 1)))
       .select(col("conv_id"), col("band"), col("salt"))
-    streamBands
-      .join(chunkedIndex, Seq("band", "salt")) // stream-static equi-join: no streaming state
+    // EXPLICIT partition count on both join sides: the (band, salt) join's
+    // output is quadratic in bucket sizes (stream hits × index members per
+    // band), which AQE cannot see from the exchanged band-row bytes — at
+    // small input sizes it coalesces both sides to one partition and a
+    // single task computes the whole join + hit count serially. An explicit
+    // repartition on the join keys with the session's shuffle-partition
+    // count (scale-adaptive conf) is reused by the join (same keys, same
+    // count — no extra exchange) and only disables the small-input
+    // coalescing. Both sides are static DataFrames, so the repartition
+    // creates no streaming state.
+    val nParts = streamSigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    streamBands.repartition(nParts, col("band"), col("salt"))
+      .join(chunkedIndex.repartition(nParts, col("band"), col("salt")),
+        Seq("band", "salt")) // stream-static equi-join: no streaming state
       .filter(col("conv_id") =!= col("matched_id"))
       .groupBy(col("conv_id"), col("matched_id"))
       .agg(count(lit(1)).cast("int").as("matching_bands"))
