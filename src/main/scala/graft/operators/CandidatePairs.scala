@@ -86,14 +86,17 @@ object CandidatePairs {
     // whose output is quadratic in bucket sizes — on a corpus with many
     // mid-size buckets AQE coalesces the postings to ONE partition and a
     // single task enumerates millions of pairs serially (measured 3-4 s of
-    // the events-corpus pairs stage). The count is the session's
-    // spark.sql.shuffle.partitions (scale-adaptive conf, not a constant),
-    // i.e. exactly what AQE would use as its ceiling at scale — only the
-    // small-input coalescing is disabled (guide §8: the operator knows the
-    // blow-up, the optimizer cannot).
+    // the events-corpus pairs stage). 2× cluster parallelism (scale-adaptive,
+    // not a constant) keeps the enumeration width-parallel with load-balance
+    // slack while bounding the per-stage task overhead the checkpointed
+    // 128-partition alternative imposed on every downstream stage (guide §8:
+    // the operator knows the blow-up, the optimizer cannot; a band's bucket
+    // is always one partition either way — extra partitions only separate
+    // DIFFERENT buckets, so width × 2 captures the available spread).
+    val scanParts = math.max(2, spark.sparkContext.defaultParallelism * 2)
     val scanned = sigs
       .select(col("conv_id"), explode(col("bands")).as("band"))
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt, col("band"))
+      .repartition(scanParts, col("band"))
       .sortWithinPartitions(col("band"))
       .select(col("band"), col("conv_id")).as[(Long, String)]
       .mapPartitions[BucketOut] { (iter: Iterator[(Long, String)]) =>

@@ -36,11 +36,22 @@ object CheckpointedPipeline {
 
   private def lineagePath(dir: String): java.nio.file.Path = Paths.get(dir, "_lineage.json")
 
+  /** Marker for the non-atomic mutation window of [[append]] (parquet
+    * append + two lineage writes): present ⇒ the checkpoint may hold
+    * half-appended state that the sidecars do not describe. [[run]] treats
+    * it as "nothing reusable" and rebuilds; [[append]] fails fast.
+    */
+  private def dirtyPath(workDir: String): java.nio.file.Path = Paths.get(workDir, "_dirty")
+
   private def writeLineage(dir: String, stage: String, cfgHash: String, upstream: String,
-                           rows: Long, wallSec: Double, nBuckets: Int,
+                           rows: Long, wallSec: Double, nBuckets: Int, bareCfgHash: String,
                            extra: String = ""): Unit = {
+    // bare_config_hash carries the cfg/nBuckets identity on its own:
+    // append() chains config_hash through hash(priorChain + batch), which
+    // loses the cfg prefix after the first append — the bare field is what
+    // lets a later append verify the caller's cfg matches the checkpoint's.
     val json =
-      s"""{"stage":"$stage","config_hash":"$cfgHash","upstream":"$upstream","rows":$rows,""" +
+      s"""{"stage":"$stage","config_hash":"$cfgHash","bare_config_hash":"$bareCfgHash","upstream":"$upstream","rows":$rows,""" +
         f""""wall_sec":$wallSec%.3f,"n_buckets":$nBuckets$extra,"written_at_ms":${System.currentTimeMillis()}}"""
     Files.writeString(lineagePath(dir), json)
   }
@@ -95,15 +106,20 @@ object CheckpointedPipeline {
           workDir: String, nBuckets: Int = 64): (DataFrame, Seq[StageInfo]) = {
     Files.createDirectories(Paths.get(workDir))
     val inputFp = inputFingerprint(transcripts)
-    val cfgHash = configHash(cfg, nBuckets) + "-" + inputFp
+    val bareCfgHash = configHash(cfg, nBuckets)
+    val cfgHash = bareCfgHash + "-" + inputFp
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageInfo]
+    // a prior append died inside its mutation window: the parquet dirs may
+    // hold rows the sidecars don't describe, so NOTHING is reusable — every
+    // stage rebuilds (overwrite clears the torn state), marker removed below
+    val dirty = Files.exists(dirtyPath(workDir))
 
     // extraLineage is evaluated AFTER the stage's write action completes —
     // runtime counters (accumulators) are only full once the job has run
     def stage(name: String, upstream: String, partitionCols: Seq[String],
               extraLineage: () => String = () => "")(compute: => DataFrame): DataFrame = {
       val dir = s"$workDir/$name"
-      if (reusable(dir, cfgHash, upstream)) {
+      if (!dirty && reusable(dir, cfgHash, upstream)) {
         val df = spark.read.parquet(dir)
         stages += StageInfo(name, -1L, 0.0, reused = true)
         df
@@ -117,7 +133,7 @@ object CheckpointedPipeline {
         val rows = out.count()
         spark.sparkContext.setJobDescription(null)
         val wall = (System.nanoTime() - t0) / 1e9
-        writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets, extraLineage())
+        writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets, bareCfgHash, extraLineage())
         stages += StageInfo(name, rows, wall, reused = false)
         out
       }
@@ -159,6 +175,9 @@ object CheckpointedPipeline {
         .withColumn("is_canonical", (col("conv_id") === col("cluster_id")).cast("boolean"))
     }
 
+    // all three stages are rebuilt and their sidecars rewritten — the torn
+    // state a dying append left behind is gone
+    if (dirty) Files.deleteIfExists(dirtyPath(workDir))
     (clusters, stages.toSeq)
   }
 
@@ -222,9 +241,22 @@ object CheckpointedPipeline {
       (s""""$name":"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     def longField(json: String, name: String): Long =
       (s""""$name":(-?\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    require(!Files.exists(dirtyPath(workDir)),
+      s"dirty checkpoint in $workDir: a prior append died inside its mutation window " +
+        "(parquet append / lineage writes) — rebuild with run()")
     require(strField(priorChain, "config_hash") == strField(cluChain, "config_hash"),
       s"torn checkpoint in $workDir: signatures and clusters lineage record different " +
         "config hashes (a prior run/append died between its lineage writes) — rebuild with run()")
+    // the caller's cfg must BE the checkpoint's cfg: a different seed /
+    // shingleK / numTables / nBuckets makes new-batch bands incomparable
+    // with the indexed signatures — new×old candidates would silently vanish
+    // instead of failing. config_hash can't carry this after the first
+    // append (the chain hash replaces the cfg prefix); bare_config_hash can.
+    val bareCfgHash = configHash(cfg, nBuckets)
+    require(strField(priorChain, "bare_config_hash") == bareCfgHash,
+      s"config mismatch in $workDir: the checkpoint was built with config hash " +
+        s"'${strField(priorChain, "bare_config_hash")}' but append was called with " +
+        s"'$bareCfgHash' — same DedupConfig and nBuckets are required (or rebuild with run())")
     val priorRows = longField(priorChain, "rows")
     val newFp = inputFingerprint(newTranscripts)
     val chainedHash =
@@ -321,16 +353,28 @@ object CheckpointedPipeline {
     // layout, clusters overwritten, lineage re-keyed to the chain. The sig
     // lineage records the COMBINED row count (what the directory now holds —
     // the next append's torn-state gate checks against it) and the measured
-    // wall times + skew counters land in the sidecars, same as run()
+    // wall times + skew counters land in the sidecars, same as run().
+    // The parquet append + two lineage writes are NOT atomic: the _dirty
+    // marker brackets the whole mutation window, so a crash anywhere inside
+    // leaves a marker that run() answers by rebuilding everything and
+    // append() answers by failing fast — the 'signatures/ holding old+new
+    // rows under the old lineage' hole is closed for run() too (its reuse
+    // gate only matched config_hash + upstream).
+    Files.writeString(dirtyPath(workDir), s"""{"appending_fp":"$newFp","started_ms":${System.currentTimeMillis()}}""")
     newSigs.write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
     writeLineage(sigDir, "signatures", chainedHash, "transcripts+append",
-      priorRows + newRows, (System.nanoTime() - t0) / 1e9, nBuckets)
+      priorRows + newRows, (System.nanoTime() - t0) / 1e9, nBuckets, bareCfgHash)
     clusters.write.mode(SaveMode.Overwrite).parquet(cluDir)
     val out = spark.read.parquet(cluDir)
     val rows = out.count()
+    // cand_metrics_scope: these counters instrument the new×new
+    // CandidatePairs scan only — the new×old chunked band join is not
+    // instrumented, so the salted work of the dominant daily-ingest path is
+    // NOT included (labeled rather than silently understated)
     writeLineage(cluDir, "clusters", chainedHash, s"pairs/$chainedHash", rows,
-      (System.nanoTime() - t2) / 1e9, nBuckets,
-      extra = s""","hot_buckets":${candMetrics.hotBuckets.value},"hot_postings":${candMetrics.hotPostings.value},"salted_pairs":${candMetrics.saltedPairs.value}""")
+      (System.nanoTime() - t2) / 1e9, nBuckets, bareCfgHash,
+      extra = s""","cand_metrics_scope":"new_x_new_only","hot_buckets":${candMetrics.hotBuckets.value},"hot_postings":${candMetrics.hotPostings.value},"salted_pairs":${candMetrics.saltedPairs.value}""")
+    Files.deleteIfExists(dirtyPath(workDir))
     stages += StageInfo("clusters", rows, (System.nanoTime() - t2) / 1e9, reused = false)
     (out, stages.toSeq)
   }

@@ -130,12 +130,12 @@ object StreamingDedup {
     // band), which AQE cannot see from the exchanged band-row bytes — at
     // small input sizes it coalesces both sides to one partition and a
     // single task computes the whole join + hit count serially. An explicit
-    // repartition on the join keys with the session's shuffle-partition
-    // count (scale-adaptive conf) is reused by the join (same keys, same
-    // count — no extra exchange) and only disables the small-input
-    // coalescing. Both sides are static DataFrames, so the repartition
-    // creates no streaming state.
-    val nParts = streamSigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // repartition on the join keys at 2× cluster parallelism (scale-adaptive,
+    // not a constant) is reused by the join (same keys, same count — no
+    // extra exchange) and only disables the small-input coalescing. Both
+    // sides are static DataFrames, so the repartition creates no streaming
+    // state.
+    val nParts = math.max(2, streamSigs.sparkSession.sparkContext.defaultParallelism * 2)
     streamBands.repartition(nParts, col("band"), col("salt"))
       .join(chunkedIndex.repartition(nParts, col("band"), col("salt")),
         Seq("band", "salt")) // stream-static equi-join: no streaming state

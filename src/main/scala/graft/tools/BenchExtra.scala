@@ -70,6 +70,43 @@ object BenchExtra {
         }.mkString("{", ",", "}")
         println(s"""BENCHEXTRA_JSON={"sf":"$sfDir","cpus":$cpus,"queries":$json}""")
 
+      case "opplans" =>
+        // operator-level plans: the declared queries localCheckpoint their
+        // intermediates eagerly, so their returned plans are truncated at
+        // in-memory scans — these entries expose the operator subtrees the
+        // optimization round actually changed (assembly, candidate scan,
+        // verify, streaming band join) as explain("formatted") artifacts.
+        val outDir = args(1)
+        val suffix = args(2)
+        Files.createDirectories(Paths.get(outDir))
+        import org.apache.spark.sql.functions._
+        val cfg = graft.DedupConfig()
+        val transcripts = graft.sources.TranscriptGen.df(spark, 2000L)
+        val sigs = graft.Dedup.signatures(spark, graft.Dedup.documents(transcripts), cfg)
+          .localCheckpoint(true)
+        val repBands = graft.Dedup.repBands(sigs).localCheckpoint(true)
+        val index = sigs.filter(col("conv_id") < "conv-00001000")
+        val stream = sigs.filter(col("conv_id") >= "conv-00001000")
+        val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          ("op_assembly", () => graft.Dedup.documents(transcripts)),
+          ("op_assembly_full", () => graft.operators.Assembly.assemble(transcripts)),
+          ("op_signatures", () => graft.Dedup.signatures(spark, graft.Dedup.documents(transcripts), cfg)),
+          ("op_repgroups", () => graft.Dedup.repGroups(sigs)),
+          ("op_candidates", () => graft.Dedup.candidates(repBands, cfg)),
+          ("op_verify", () => graft.Dedup.verify(graft.Dedup.candidates(repBands, cfg), sigs, cfg)),
+          ("op_stream_neardup", () => graft.streaming.StreamingDedup.nearDupAgainstIndex(stream, index, cfg))
+        )
+        ops.foreach { case (name, fn) =>
+          try {
+            val plan = fn().queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+            println(s"[benchextra] wrote $name")
+          } catch { case e: Throwable =>
+            System.err.println(s"[benchextra] $name plan failed: ${e.getMessage}")
+          }
+        }
+
       case "plans" =>
         val outDir = args(1)
         val suffix = args(2)

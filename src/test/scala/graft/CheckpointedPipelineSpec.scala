@@ -208,4 +208,63 @@ class CheckpointedPipelineSpec extends AnyFunSuite with Matchers with BeforeAndA
       saltedPairs.getOrElse(fail(s"no salted_pairs in lineage: $lineage")) should be > 0L
     } finally new Directory(new java.io.File(work)).deleteRecursively()
   }
+
+  test("append requires the checkpoint's own config; a dirty mutation window blocks append and forces run() to rebuild") {
+    val s = spark
+    import s.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def conv(id: String, text: String) = (id, 0, "user", text, "", ts)
+    val cfg = DedupConfig()
+    val old = Seq(conv("A", (1 to 30).map(i => s"a$i").mkString(" ")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val batch = Seq(conv("B", (1 to 30).map(i => s"b$i").mkString(" ")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val more = Seq(conv("C", (1 to 30).map(i => s"c$i").mkString(" ")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val wd = Files.createTempDirectory("graft-ckpt-cfg").toString
+    try {
+      CheckpointedPipeline.run(spark, old, cfg, wd, nBuckets = 2)
+
+      // different cfg (seed) or nBuckets: bands would be incomparable with
+      // the indexed signatures — must fail, not silently find nothing
+      val e1 = intercept[IllegalArgumentException] {
+        CheckpointedPipeline.append(spark, batch, cfg.copy(seed = 99L), wd, nBuckets = 2)
+      }
+      e1.getMessage should include("config mismatch")
+      val e2 = intercept[IllegalArgumentException] {
+        CheckpointedPipeline.append(spark, batch, cfg, wd, nBuckets = 4)
+      }
+      e2.getMessage should include("config mismatch")
+
+      // ...and the gate still works AFTER an append, where the chained
+      // config_hash no longer carries the cfg prefix
+      CheckpointedPipeline.append(spark, batch, cfg, wd, nBuckets = 2)
+      val e3 = intercept[IllegalArgumentException] {
+        CheckpointedPipeline.append(spark, more, cfg.copy(numTables = 32), wd, nBuckets = 2)
+      }
+      e3.getMessage should include("config mismatch")
+
+      // dirty marker (a prior append died inside its mutation window):
+      // append refuses; run() treats every checkpoint as non-reusable even
+      // though the sidecars match, rebuilds, and clears the marker
+      val wd2 = Files.createTempDirectory("graft-ckpt-dirty").toString
+      try {
+        val (c1, _) = CheckpointedPipeline.run(spark, old, cfg, wd2, nBuckets = 2)
+        val m1 = clustersMap(c1)
+        Files.writeString(Paths.get(wd2, "_dirty"), "{}")
+        val e4 = intercept[IllegalArgumentException] {
+          CheckpointedPipeline.append(spark, batch, cfg, wd2, nBuckets = 2)
+        }
+        e4.getMessage should include("dirty")
+        val (c2, st) = CheckpointedPipeline.run(spark, old, cfg, wd2, nBuckets = 2)
+        all(st.map(_.reused)) shouldBe false // sidecars match, but dirty wins
+        clustersMap(c2) shouldBe m1
+        Files.exists(Paths.get(wd2, "_dirty")) shouldBe false
+        // marker gone: normal reuse and append both work again
+        val (_, st2) = CheckpointedPipeline.run(spark, old, cfg, wd2, nBuckets = 2)
+        all(st2.map(_.reused)) shouldBe true
+        CheckpointedPipeline.append(spark, batch, cfg, wd2, nBuckets = 2)
+      } finally new Directory(new java.io.File(wd2)).deleteRecursively()
+    } finally new Directory(new java.io.File(wd)).deleteRecursively()
+  }
 }
