@@ -95,11 +95,18 @@ object Queries {
 
       case (MinHashDedup(cfg), _, _) =>
         val sigs = Dedup.signatures(spark, corpus, cfg).localCheckpoint(eager = true)
-        val mapping = Dedup.exactGroups(sigs)
+        // ONE set_hash aggregation serves all three consumers (mapping, rep
+        // bands, rep id set) — this dispatch previously aggregated repGroups
+        // twice (exactGroups + repBands, a full bands-payload shuffle each)
+        // and derived reps via an extra distinct; same shape as
+        // Dedup.pipeline / CheckpointedPipeline now.
+        val groups = Dedup.repGroups(sigs).localCheckpoint(eager = true)
+        val mapping = Dedup.mappingFrom(sigs, groups)
         // bands-only rep aggregation; payload re-attached member-reduced in
         // verify (same shape as Dedup.pipeline)
-        val verified = Dedup.verify(Dedup.candidates(Dedup.repBands(sigs), cfg), sigs, cfg)
-        val reps = mapping.select(col("rep").as("conv_id")).distinct()
+        val verified = Dedup.verify(Dedup.candidates(groups.select(col("rep").as("conv_id"), col("bands")), cfg), sigs, cfg)
+        // one row per group already — no distinct shuffle needed
+        val reps = groups.select(col("rep").as("conv_id"))
         val repClusters = ConnectedComponents.assign(reps, verified)
         mapping.join(repClusters.withColumnRenamed("conv_id", "rep").select(col("rep"), col("cluster_id")), Seq("rep"))
           .select(col("conv_id"), col("cluster_id"))

@@ -48,25 +48,107 @@ object CandidatePairs {
         spark.sparkContext.longAccumulator("graft.candidates.salted_pairs"))
   }
 
+  /** Code-point "<" ≡ Spark UTF8String binary order — the SAME orientation
+    * the hot-bucket path's least/greatest produces. (java.lang.String "<"
+    * compares UTF-16 code units, which disagrees with byte order between
+    * supplementary-plane chars and [U+E000, U+FFFF]; a pair straddling a
+    * small and a hot bucket would then reach the hit-count groupBy as two
+    * keys.)
+    */
+  private def cpLt(a: String, b: String): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    a.length < b.length
+  }
+
+  /** Streaming run iterator over band-sorted postings: buffers ids of the
+    * current band run up to cap+1 and hands each completed run to `emit`
+    * exactly once — small runs (≤ cap) with `overflowed = false` and a full
+    * id buffer, oversized runs with `overflowed = true` (the buffer holds
+    * the first cap+1 ids; the remaining ids of the run stream through
+    * `emitTail`). Memory is O(bucketCap) regardless of band heat.
+    *
+    * Runs of equal band are contiguous after the sort; ids within a run
+    * arrive in shuffle order — irrelevant, pair normalization makes the
+    * emitted SET order-independent (determinism contract).
+    */
+  private final class RunScan[T](iter: Iterator[(Long, String)], cap: Int,
+      emit: (Long, Array[String], Boolean) => Iterator[T],
+      emitTail: (Long, String) => Iterator[T]) extends Iterator[T] {
+    private val buf = new scala.collection.mutable.ArrayBuffer[String](64)
+    private var curBand = 0L
+    private var overflow = false
+    private var pending: Iterator[T] = Iterator.empty
+    private var head: Option[(Long, String)] = None
+
+    private def flushRun(): Iterator[T] = {
+      val out =
+        if (overflow) Iterator.empty // run already emitted at overflow time
+        else emit(curBand, buf.toArray, false) // snapshot: emit may be lazy, buf is cleared next
+      buf.clear(); overflow = false
+      out
+    }
+
+    private def advance(): Unit = {
+      while (pending.isEmpty && (head.nonEmpty || iter.hasNext)) {
+        val (band, id) = head.getOrElse(iter.next())
+        head = None
+        if (buf.isEmpty && !overflow) { curBand = band; buf += id }
+        else if (band == curBand) {
+          if (overflow) pending = emitTail(band, id)
+          else {
+            buf += id
+            if (buf.length > cap) {
+              // cap exceeded: reclassify the buffered run as hot — hand the
+              // buffered prefix to emit, then stream the rest via emitTail
+              overflow = true
+              val snapshot = buf.toArray
+              buf.clear()
+              pending = emit(curBand, snapshot, true)
+            }
+          }
+        } else { // run boundary
+          head = Some((band, id))
+          pending = flushRun()
+        }
+      }
+      if (pending.isEmpty && buf.nonEmpty) pending = flushRun()
+    }
+
+    override def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+    override def next(): T = { if (pending.isEmpty) advance(); pending.next() }
+  }
+
   /** All unordered candidate pairs (id_a < id_b) with the number of
     * matching bands. Complete (no recall loss from capping).
     *
     * Shape: ONE hash exchange of the posting rows, sorted by band within
-    * each partition, then a single streaming pass enumerates each bucket —
-    * small buckets (≤ bucketCap) emit their pairs in place; oversized
-    * buckets emit their postings tagged for the salted block join. No
-    * counts aggregation, no count join, no band self-join: the previous
-    * join shape re-read the postings exchange up to 4× and probed a
-    * bucket-count hash relation per read (~3 GB of repeated exchange
-    * traffic + hash probes at L=48 × 600k docs — the dominant memory-bus
-    * load of the stage on one box, pure overhead on a cluster). The pass
-    * buffers at most one bucket AND at most bucketCap+1 rows (once a run
-    * overflows the cap it streams) — memory is O(bucketCap) regardless of
-    * how hot a band is.
+    * each partition, materialized ONCE as the narrow (band, conv_id)
+    * checkpoint — ~20 B/row, partitioning and sort order preserved — then
+    * two fused streaming passes over those in-memory blocks:
     *
-    * The small output (pairs + rare hot-bucket postings, candidate-density
-    * proportional) is materialized once: it feeds the hit-count aggregation
-    * and, rarely, the block join, and must not re-run the sorted scan.
+    *   - the PAIR pass enumerates each small (≤ bucketCap) bucket and
+    *     streams its pairs STRAIGHT INTO the hit-count aggregation's
+    *     map-side partials (no intermediate materialization: the previous
+    *     shape checkpointed the enumerated pair rows — quadratic in bucket
+    *     sizes, 2.5M rows on the 3k-doc events corpus vs 114k postings —
+    *     then filtered that block store twice; the pair stream is ~20× the
+    *     postings there and the block-store roundtrip was the dominant cost
+    *     of the stage);
+    *   - the HOT pass re-reads the same sorted checkpoint and emits only
+    *     the postings of oversized buckets for the salted block join —
+    *     empty output (one cheap narrow scan, no exchange) on corpora
+    *     without hot bands.
+    *
+    * No counts aggregation, no count join, no band self-join (the round-4
+    * join shape re-read the postings exchange up to 4× and probed a
+    * bucket-count hash relation per read). Each pass buffers at most one
+    * run AND at most bucketCap+1 rows — memory is O(bucketCap) regardless
+    * of how hot a band is.
     */
   def candidatePairs(sigs: DataFrame, cfg: DedupConfig,
                      metrics: Option[CandidateMetrics] = None): DataFrame = {
@@ -74,11 +156,6 @@ object CandidatePairs {
     import spark.implicits._
 
     val cap = cfg.bucketCap
-    // Scan output row: either a small-bucket candidate pair (_3 == null)
-    // or an oversized-bucket posting row (_3 = band, _1 = conv_id, _2
-    // unused) destined for the salted block join. A tagged union instead
-    // of two outputs so the sorted postings stream is consumed once.
-    type BucketOut = (String, String, java.lang.Long)
     val outerDesc = spark.sparkContext.getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription("candidates:scan")
     // EXPLICIT partition count: AQE sizes post-shuffle partitions by the
@@ -94,117 +171,71 @@ object CandidatePairs {
     // is always one partition either way — extra partitions only separate
     // DIFFERENT buckets, so width × 2 captures the available spread).
     val scanParts = math.max(2, spark.sparkContext.defaultParallelism * 2)
-    val scanned = sigs
+    // The narrow postings are the ONLY materialization: LogicalRDD keeps
+    // the hash partitioning AND the within-partition band order, so both
+    // passes below are exchange-free, sort-free streaming scans.
+    val postings = sigs
       .select(col("conv_id"), explode(col("bands")).as("band"))
       .repartition(scanParts, col("band"))
       .sortWithinPartitions(col("band"))
       .select(col("band"), col("conv_id")).as[(Long, String)]
-      .mapPartitions[BucketOut] { (iter: Iterator[(Long, String)]) =>
-        // Runs of equal band are contiguous after the sort; ids within a
-        // run arrive in shuffle order — irrelevant, pair normalization
-        // makes the emitted SET order-independent (determinism contract).
-        new Iterator[BucketOut] {
-          private val buf = new scala.collection.mutable.ArrayBuffer[String](64)
-          private var curBand = 0L
-          private var overflow = false
-          private var pending: Iterator[BucketOut] = Iterator.empty
-          private var head: Option[(Long, String)] = None
-
-          // code-point "<" ≡ Spark UTF8String binary order — the SAME
-          // orientation the hot-bucket path's least/greatest produces.
-          // (java.lang.String "<" compares UTF-16 code units, which
-          // disagrees with byte order between supplementary-plane chars
-          // and [U+E000, U+FFFF]; a pair straddling a small and a hot
-          // bucket would then reach the hit-count groupBy as two keys.)
-          private def cpLt(a: String, b: String): Boolean = {
-            var i = 0
-            while (i < a.length && i < b.length) {
-              val ca = a.codePointAt(i); val cb = b.codePointAt(i)
-              if (ca != cb) return ca < cb
-              i += Character.charCount(ca)
-            }
-            a.length < b.length
-          }
-
-          private def pairsOf(band: Long, ids0: Array[String]): Iterator[BucketOut] = {
-            // Duplicate conv_ids within one bucket (duplicate input rows, a
-            // conv repeated across sources) must count as ONE posting:
-            // emitting (dup, other) once per occurrence would inflate
-            // matching_bands past L and could pass minBands spuriously. The
-            // salted path dedupes the same way (hot postings are distinct'd
-            // before chunking), so a pair straddling both paths counts once.
-            val ids = if (ids0.length < 2) ids0 else ids0.distinct
-            if (ids.length < 2) Iterator.empty
-            else (for {
-              i <- ids.indices.iterator
-              j <- (i + 1 until ids.length).iterator
-            } yield {
-              val x = ids(i); val y = ids(j)
-              (if (cpLt(x, y)) (x, y, null) else (y, x, null)): BucketOut
-            }): Iterator[BucketOut]
-          }
-
-          private def flushRun(): Iterator[BucketOut] = {
-            val out =
-              if (overflow) Iterator.empty // members already streamed out tagged
-              else pairsOf(curBand, buf.toArray) // snapshot: pairsOf is lazy, buf is cleared next
-            buf.clear(); overflow = false
-            out
-          }
-
-          private def advance(): Unit = {
-            while (pending.isEmpty && (head.nonEmpty || iter.hasNext)) {
-              val (band, id) = head.getOrElse(iter.next())
-              head = None
-              if (buf.isEmpty && !overflow) { curBand = band; buf += id }
-              else if (band == curBand) {
-                if (overflow) {
-                  metrics.foreach(_.hotPostings.add(1))
-                  pending = Iterator.single((id, null, band): BucketOut)
-                } else {
-                  buf += id
-                  if (buf.length > cap) {
-                    // cap exceeded: reclassify the buffered run as a hot
-                    // bucket — emit every member tagged, then stream
-                    overflow = true
-                    metrics.foreach { m => m.hotBuckets.add(1); m.hotPostings.add(buf.length) }
-                    val b = curBand
-                    pending = buf.toArray.iterator.map(m => (m, null, b): BucketOut)
-                    buf.clear()
-                  }
-                }
-              } else { // run boundary
-                head = Some((band, id))
-                pending = flushRun()
-              }
-            }
-            if (pending.isEmpty && buf.nonEmpty) pending = flushRun()
-          }
-
-          override def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
-          override def next(): BucketOut = { if (pending.isEmpty) advance(); pending.next() }
-        }
-      }(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.LONG))
-      .toDF("a", "b", "band")
       .localCheckpoint(true)
     spark.sparkContext.setJobDescription(outerDesc)
 
-    val smallPairs = scanned.filter(col("band").isNull)
-      .select(col("a").as("id_a"), col("b").as("id_b"))
+    // ---- pair pass: small buckets → pairs, fused into the aggregation ----
+    val smallPairs = postings
+      .mapPartitions { iter =>
+        new RunScan[(String, String)](iter, cap,
+          emit = (_, ids0, overflowed) =>
+            if (overflowed) Iterator.empty // hot runs pair up in the salted path
+            else {
+              // Duplicate conv_ids within one bucket (duplicate input rows,
+              // a conv repeated across sources) must count as ONE posting:
+              // emitting (dup, other) once per occurrence would inflate
+              // matching_bands past L and could pass minBands spuriously.
+              // The salted path dedupes the same way (hot postings are
+              // distinct'd before chunking), so a pair straddling both
+              // paths counts once.
+              val ids = if (ids0.length < 2) ids0 else ids0.distinct
+              if (ids.length < 2) Iterator.empty
+              else for {
+                i <- ids.indices.iterator
+                j <- (i + 1 until ids.length).iterator
+              } yield {
+                val x = ids(i); val y = ids(j)
+                if (cpLt(x, y)) (x, y) else (y, x)
+              }
+            },
+          emitTail = (_, _) => Iterator.empty)
+      }
+      .toDF("id_a", "id_b")
+
+    // ---- hot pass: oversized buckets → their postings, for the salted
+    //      block join (usually an empty-output scan of the same blocks) ----
+    val hotPostings = postings
+      .mapPartitions { iter =>
+        new RunScan[(Long, String)](iter, cap,
+          emit = (band, ids, overflowed) =>
+            if (!overflowed) Iterator.empty
+            else {
+              metrics.foreach { m => m.hotBuckets.add(1); m.hotPostings.add(ids.length) }
+              ids.iterator.map(id => (band, id))
+            },
+          emitTail = (band, id) => {
+            metrics.foreach(_.hotPostings.add(1))
+            Iterator.single((band, id))
+          })
+      }
+      .toDF("band", "conv_id")
 
     // ---- oversized buckets: salted block decomposition ----
     // Bucket sizes for the chunk count come from a groupBy over the HOT
     // postings only (bounded by hot-band membership — tiny next to the
     // corpus), broadcast back onto them.
-    // distinct mirrors the scan path's per-bucket id dedupe: duplicate
+    // distinct mirrors the pair pass's per-bucket id dedupe: duplicate
     // (band, conv_id) postings must not multiply pair emissions. Bounded by
     // hot-band membership, so the extra exchange is tiny next to the corpus.
-    val hot = scanned.filter(col("band").isNotNull)
-      .select(col("band"), col("a").as("conv_id"))
-      .distinct()
+    val hot = hotPostings.distinct()
     val hotCounts = hot.groupBy(col("band")).agg(count(lit(1)).as("n"))
     val big = hot.join(broadcast(hotCounts), Seq("band"))
       .withColumn("g", ceil(col("n") / cap).cast("int"))

@@ -56,6 +56,32 @@ object CheckpointedPipeline {
     Files.writeString(lineagePath(dir), json)
   }
 
+  /** Row count of a just-written parquet checkpoint, answered from the file
+    * FOOTERS instead of a data-scan Spark job: the lineage row counts are
+    * bookkeeping taken right after each stage write (guide §1.4 — the count
+    * is not the computation), and every parquet footer records its row
+    * groups' counts exactly. One driver-side metadata pass over the files
+    * the write just produced replaces a full count() job per stage (the
+    * same answer DuckDB's count pushdown would give).
+    */
+  private def countFromFooters(spark: SparkSession, dir: String): Long = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hadoopConf)
+    val it = fs.listFiles(root, true) // recursive: partitionBy writes subdirs
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, hadoopConf))
+        try total += reader.getRecordCount
+        finally reader.close()
+      }
+    }
+    total
+  }
+
   /** A stage checkpoint is reusable iff its lineage exists and records the
     * same config hash + upstream chain (parquet `_SUCCESS` is implied by the
     * sidecar being written strictly after the data).
@@ -130,7 +156,7 @@ object CheckpointedPipeline {
         val writer = df.write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).parquet(dir)
         val out = spark.read.parquet(dir)
-        val rows = out.count()
+        val rows = countFromFooters(spark, dir)
         spark.sparkContext.setJobDescription(null)
         val wall = (System.nanoTime() - t0) / 1e9
         writeLineage(dir, name, cfgHash, upstream, rows, wall, nBuckets, bareCfgHash, extraLineage())
@@ -140,8 +166,16 @@ object CheckpointedPipeline {
     }
 
     val sigs = stage("signatures", upstream = "transcripts", partitionCols = Seq("bucket")) {
+      // REBALANCE on the partition column before the partitionBy write
+      // (guide §6): without it every write task opens one file per bucket
+      // value it holds — tasks × nBuckets files of a few KB each (measured
+      // 2k+ files at 128 tasks × 16 buckets), paid again by every
+      // downstream scan of signatures/ (pairs payload, mapping, append's
+      // index reads). AQE sizes the rebalanced partitions, so big buckets
+      // still split into multiple adequately-sized files at scale.
       Dedup.signatures(spark, Dedup.documents(transcripts), cfg)
         .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
+        .hint("rebalance", col("bucket"))
     }
 
     // ONE set_hash aggregation serves both downstream stages (the pairs
@@ -361,12 +395,15 @@ object CheckpointedPipeline {
     // rows under the old lineage' hole is closed for run() too (its reuse
     // gate only matched config_hash + upstream).
     Files.writeString(dirtyPath(workDir), s"""{"appending_fp":"$newFp","started_ms":${System.currentTimeMillis()}}""")
-    newSigs.write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
+    // same REBALANCE-before-partitionBy as run()'s signatures stage: the
+    // appended batch adds ≤ one adequately-sized file per bucket instead of
+    // (batch partitions × nBuckets) small ones
+    newSigs.hint("rebalance", col("bucket")).write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
     writeLineage(sigDir, "signatures", chainedHash, "transcripts+append",
       priorRows + newRows, (System.nanoTime() - t0) / 1e9, nBuckets, bareCfgHash)
     clusters.write.mode(SaveMode.Overwrite).parquet(cluDir)
     val out = spark.read.parquet(cluDir)
-    val rows = out.count()
+    val rows = countFromFooters(spark, cluDir)
     // cand_metrics_scope: these counters instrument the new×new
     // CandidatePairs scan only — the new×old chunked band join is not
     // instrumented, so the salted work of the dominant daily-ingest path is
