@@ -45,6 +45,14 @@ object SparkEntry {
   private def sigsForDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.signatures(s, docsAsCorpus(s, dir), docCfg)
 
+  /** Shingle-only kernel for queries that consume just (shingles,
+    * n_shingles): the full kernel's 128 MinHash permutations + 64 SimHash
+    * bit-votes per shingle would be computed and thrown away (guide §1.2 —
+    * identical shingling math, column-for-column interchangeable).
+    */
+  private def shinglesForDocs(s: SparkSession, dir: String): DataFrame =
+    operators.Signatures.shingleSignatures(s, docsAsCorpus(s, dir), docCfg)
+
   /** Embedding table dims (fixed by the testdata generator and asserted by
     * q_dims_validation); passed to the knn builders so no plan-time
     * `first()` probe job runs.
@@ -151,7 +159,7 @@ object SparkEntry {
 
     // ---- shingling (S3 sorted-set invariant; counts vs string oracle) ----
     "q_shingle_stats" -> ((s, dir) =>
-      sigsForDocs(s, dir).select(
+      shinglesForDocs(s, dir).select(
         col("conv_id").cast("long").as("doc_id"),
         col("n_shingles").cast("long").as("n_shingles"))),
 
@@ -169,7 +177,7 @@ object SparkEntry {
 
     // ---- exact Jaccard over 3-gram shingle sets (the dup-pair verifier) ----
     "q_ngram_jaccard" -> ((s, dir) => {
-      val sigs = sigsForDocs(s, dir)
+      val sigs = shinglesForDocs(s, dir)
         .select(col("conv_id").cast("long").as("doc_id"), col("shingles"), col("n_shingles"))
         .filter(col("doc_id") < 150)
       val jac = udf { (x: Array[Long], y: Array[Long]) => graft.kernels.ExactSim.sortedIntersectionCount(x, y) }
@@ -384,7 +392,7 @@ object SparkEntry {
       val dims = 256
       // shingle-hash set folded onto a fixed 0..dims universe: the
       // ≙Vec.SparseBool form the reference's HammingLshModel consumes
-      val sets = sigsForDocs(s, dir)
+      val sets = shinglesForDocs(s, dir)
         .select(col("conv_id").cast("long").as("doc_id"), col("shingles"))
         .as[(Long, Array[Long])]
         .map { case (id, sh) =>
@@ -491,7 +499,7 @@ object SparkEntry {
     //      Words-only before): distinct char-5-gram count per document ----
     "q_char_shingle_stats" -> ((s, dir) => {
       val charCfg = docCfg.copy(shingleK = 5, shingleMode = graft.kernels.Shingler.Chars)
-      Dedup.signatures(s, docsAsCorpus(s, dir), charCfg)
+      operators.Signatures.shingleSignatures(s, docsAsCorpus(s, dir), charCfg)
         .select(col("conv_id").cast("long").as("doc_id"),
           col("n_shingles").cast("long").as("n_shingles"))
     }),

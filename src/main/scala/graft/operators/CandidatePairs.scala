@@ -211,22 +211,45 @@ object CandidatePairs {
       .toDF("id_a", "id_b")
 
     // ---- hot pass: oversized buckets → their postings, for the salted
-    //      block join (usually an empty-output scan of the same blocks) ----
-    val hotPostings = postings
+    //      block join (usually an empty-output scan of the same blocks).
+    //      Metrics ride the probe scan only (it always runs exactly once —
+    //      the salted subtree's re-scans must not re-count). ----
+    def hotPass(withMetrics: Boolean) = postings
       .mapPartitions { iter =>
+        val m = if (withMetrics) metrics else None
         new RunScan[(Long, String)](iter, cap,
           emit = (band, ids, overflowed) =>
             if (!overflowed) Iterator.empty
             else {
-              metrics.foreach { m => m.hotBuckets.add(1); m.hotPostings.add(ids.length) }
+              m.foreach { x => x.hotBuckets.add(1); x.hotPostings.add(ids.length) }
               ids.iterator.map(id => (band, id))
             },
           emitTail = (band, id) => {
-            metrics.foreach(_.hotPostings.add(1))
+            m.foreach(_.hotPostings.add(1))
             Iterator.single((band, id))
           })
       }
       .toDF("band", "conv_id")
+    val hotPostings = hotPass(withMetrics = false)
+
+    // ---- hot short-circuit: ONE narrow scan decides whether the salted
+    //      machinery is needed at all. Hot bands are the exception (most
+    //      corpora have none after exact-dup collapse), but the salted
+    //      subtree below costs ~5 stages (distinct, counts, two fan-out
+    //      scans, the block join) that would each re-scan the postings
+    //      checkpoint and run as separate AQE jobs even over empty input.
+    //      The probe is a full count (not isEmpty — CollectLimit's scale-up
+    //      re-runs the result stage several times on empty input) and also
+    //      fills the hot metrics exactly once.
+    spark.sparkContext.setJobDescription("candidates:hotprobe")
+    val nHotPostings = hotPass(withMetrics = true).count()
+    spark.sparkContext.setJobDescription(outerDesc)
+    if (nHotPostings == 0L) {
+      return smallPairs
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).cast("int").as("matching_bands"))
+        .filter(col("matching_bands") >= cfg.minBands)
+    }
 
     // ---- oversized buckets: salted block decomposition ----
     // Bucket sizes for the chunk count come from a groupBy over the HOT

@@ -62,6 +62,27 @@ object Signatures {
     }.toDF()
   }
 
+  /** Shingle-only signatures: (conv_id, shingles, n_shingles). The full
+    * kernel additionally evaluates L·r MinHash permutations plus the 64
+    * SimHash bit-votes per shingle (272 hash evaluations per element at the
+    * documents-table defaults) that a shingle-shaped query throws away —
+    * don't compute what you discard (guide §1.2). Identical shingling math
+    * (same normalize/hash/sort/dedup), so the `shingles`/`n_shingles`
+    * columns are interchangeable with the full kernel's.
+    */
+  def shingleSignatures(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    docs.selectExpr("conv_id", "coalesce(doc_text, '') as doc_text")
+      .as[(String, String)]
+      .mapPartitions { iter =>
+        iter.map { case (convId, text) =>
+          val sh = Shingler.shingles(text, cfg.shingleK, cfg.shingleMode, cfg.seed)
+          (convId, sh, sh.length)
+        }
+      }
+      .toDF("conv_id", "shingles", "n_shingles")
+  }
+
   /** SimHash-only signatures: (conv_id, simhash). The full kernel evaluates
     * L·r MinHash permutations per document (144 at the defaults) that a
     * SimHash-shaped query throws away — at 10^12 turns that is most of the
