@@ -222,7 +222,7 @@ object Knn {
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
               numTables: Int = 64, rowsPerBand: Int = 4, seed: Long = 0L,
-              dims: Int = -1): DataFrame = {
+              dims: Int = -1, bucketCap: Int = 512): DataFrame = {
     import spark.implicits._
     // dims ≤ 0 → probe the corpus (a LIMIT-1 scan, but still a serialized
     // plan-time Spark job); callers that know the schema dims (S2's
@@ -239,11 +239,17 @@ object Knn {
 
     val qBands = withBands(queries, "q_id")
     val cBands = withBands(corpus, "n_id")
-    // hash-join on band (the shuffle is the term dictionary, C1)
-    val cands = qBands.join(cBands, Seq("band"))
-      .filter(col("q_id") =!= col("n_id"))
-      .groupBy("q_id", "n_id")
-      .agg(count(lit(1)).as("matching_bands")) // C2 hit counting
+    // skew-safe band join (the shuffle is the term dictionary, C1; C2 hit
+    // counting inside): a hot corpus band — zero-vector clique, dense
+    // near-dup family — previously concentrated (bucket members × query
+    // hits) rows on ONE shuffle key of the plain band join; the chunked
+    // index pattern bounds every key at bucketCap index rows, with
+    // replication ∝ the (small) query side only
+    val cands = graft.streaming.StreamingDedup.bandHitsAgainstIndex(
+        qBands.withColumnRenamed("q_id", "conv_id"),
+        cBands.withColumnRenamed("n_id", "matched_id"),
+        bucketCap, minMatches = 1)
+      .select(col("conv_id").as("q_id"), col("matched_id").as("n_id"), col("matching_bands"))
 
     val q = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
@@ -263,7 +269,7 @@ object Knn {
     */
   def l2LshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
                 numTables: Int = 24, rowsPerBand: Int = 2, w: Int = 4, probes: Int = 0,
-                seed: Long = 0L, dims: Int = -1): DataFrame = {
+                seed: Long = 0L, dims: Int = -1, bucketCap: Int = 512): DataFrame = {
     import spark.implicits._
     val d = if (dims > 0) dims else corpus.select(size(col("embedding"))).first().getInt(0)
     def banded(df: DataFrame, idCol: String, p: Int): DataFrame =
@@ -278,9 +284,14 @@ object Knn {
     // distinct so a (q, n) pair is counted once per *bucket*, as unprobed is
     val q = { val b = banded(queries, "q_id", probes); if (probes > 0) b.distinct() else b }
     val c = banded(corpus, "n_id", 0)
-    val cands = q.join(c, Seq("band"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id").distinct()
+    // skew-safe band join — same chunked-index guard as [[lshTopK]]; the
+    // hit-count output at minMatches=1 is one row per distinct pair, i.e.
+    // exactly the distinct() the plain join needed
+    val cands = graft.streaming.StreamingDedup.bandHitsAgainstIndex(
+        q.withColumnRenamed("q_id", "conv_id"),
+        c.withColumnRenamed("n_id", "matched_id"),
+        bucketCap, minMatches = 1)
+      .select(col("conv_id").as("q_id"), col("matched_id").as("n_id"))
     val qv = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
     val cv = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
     val scored = cands

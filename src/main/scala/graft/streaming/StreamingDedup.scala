@@ -105,10 +105,28 @@ object StreamingDedup {
     * pay nothing (g = 1). The hot-band table and the chunked index are
     * static, so no streaming state is created.
     */
-  def nearDupAgainstIndex(streamSigs: DataFrame, indexSigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  def nearDupAgainstIndex(streamSigs: DataFrame, indexSigs: DataFrame, cfg: DedupConfig): DataFrame =
+    bandHitsAgainstIndex(
+      streamSigs.select(col("conv_id"), explode(col("bands")).as("band")),
+      indexSigs.select(col("conv_id").as("matched_id"), explode(col("bands")).as("band")),
+      cfg.bucketCap, cfg.minBands)
+
+  /** The generic probe-vs-index skew-safe band join (the machinery behind
+    * [[nearDupAgainstIndex]], reused by the knn candidate generation —
+    * [[graft.operators.Knn.lshTopK]]/`l2LshTopK` previously ran a plain
+    * band self-join whose hot corpus bands (zero-vector cliques, dense
+    * near-dup families) concentrated (bucket members × probe hits) rows on
+    * one shuffle key). Id columns keep whatever type the caller supplies.
+    *
+    * @param probeBands (conv_id, band) — the small / unbounded-stream side;
+    *                   rows explode across a hot band's chunks
+    * @param indexBands (matched_id, band) — the corpus side; each row lands
+    *                   in exactly one chunk (never replicated)
+    * @return (conv_id, matched_id, matching_bands ≥ minMatches)
+    */
+  def bandHitsAgainstIndex(probeBands: DataFrame, indexBands: DataFrame,
+                           cap: Int, minMatches: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val cap = cfg.bucketCap
-    val indexBands = indexSigs.select(col("conv_id").as("matched_id"), explode(col("bands")).as("band"))
     // static: fan-out factor per hot band only (tiny — bounded by the
     // number of bands hotter than cap, not by the index)
     val hotBands = indexBands.groupBy(col("band"))
@@ -121,7 +139,7 @@ object StreamingDedup {
         when(col("g").isNull, lit(0))
           .otherwise(pmod(xxhash64(col("matched_id")), col("g").cast("long")).cast("int")))
       .select(col("band"), col("salt"), col("matched_id"))
-    val streamBands = streamSigs.select(col("conv_id"), explode(col("bands")).as("band"))
+    val saltedProbe = probeBands
       .join(broadcast(hotBands), Seq("band"), "left")
       .withColumn("salt", explode(sequence(lit(0), coalesce(col("g"), lit(1)) - 1)))
       .select(col("conv_id"), col("band"), col("salt"))
@@ -135,14 +153,14 @@ object StreamingDedup {
     // extra exchange) and only disables the small-input coalescing. Both
     // sides are static DataFrames, so the repartition creates no streaming
     // state.
-    val nParts = math.max(2, streamSigs.sparkSession.sparkContext.defaultParallelism * 2)
-    streamBands.repartition(nParts, col("band"), col("salt"))
+    val nParts = math.max(2, probeBands.sparkSession.sparkContext.defaultParallelism * 2)
+    saltedProbe.repartition(nParts, col("band"), col("salt"))
       .join(chunkedIndex.repartition(nParts, col("band"), col("salt")),
         Seq("band", "salt")) // stream-static equi-join: no streaming state
       .filter(col("conv_id") =!= col("matched_id"))
       .groupBy(col("conv_id"), col("matched_id"))
       .agg(count(lit(1)).cast("int").as("matching_bands"))
-      .filter(col("matching_bands") >= cfg.minBands)
+      .filter(col("matching_bands") >= minMatches)
   }
 
   /** Exact-Jaccard verification of the streaming candidates — the C5 stage

@@ -400,4 +400,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     byName.head._3 shouldBe (3.0 / 5.0) +- 1e-12
     out.size shouldBe 1
   }
+
+  test("lshTopK survives a hot corpus band clique (chunked-index guard) with exact results") {
+    val s = spark
+    import s.implicits._
+    // 1200 identical unit vectors: every LSH band bucket holds the whole
+    // clique (> the 512 bucketCap), so the plain band join would put
+    // 1200 x |queries| rows on one shuffle key per band — the corpus-side
+    // skew case. The chunked-index guard must route it AND produce exactly
+    // the exact-scan top-k (identical vectors collide in every band, so
+    // LSH recall is 1 by construction; ties break by id on both paths).
+    val emb = (0 until 1200).map(i => (i.toLong, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val lsh = Knn.lshTopK(s, queries, emb, k = 5, numTables = 8, rowsPerBand = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Knn.exactTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    lsh shouldBe exact
+  }
 }
