@@ -129,17 +129,55 @@ object SparkEntry {
       Dedup.pipeline(s, eventTranscripts(s, dir), DedupConfig())
         .select(col("conv_id"), col("cluster_id"), col("is_canonical").cast("long").as("is_canonical"))),
 
-    // ---- S-path: assembly (window-ordered concat; oracle: string_agg) ----
-    "q_assembly" -> ((s, dir) =>
-      eventsDf(s, dir)
-        .groupBy(col("user_id"))
-        .agg(
-          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"),
-          count(lit(1)).cast("long").as("n_events"))
-        .select(
-          col("user_id"),
-          concat_ws(" ", col("evs.event_type")).as("doc"),
-          col("n_events"))),
+    // ---- S-path: assembly (ordered concat; oracle: string_agg). Same
+    //      sort-then-scan kernel shape as Assembly.assembleDocs: ONE hash
+    //      exchange on user_id + a Tungsten sort + a streaming concat pass.
+    //      The previous groupBy + sort_array(collect_list(struct)) form
+    //      paid ObjectHashAggregate object buffers plus an interpreted
+    //      per-element struct comparator (the pipeline's assembly was
+    //      measured 2.1× faster after the same swap). Ordering semantics
+    //      identical: ascending (ts, event_id, event_type) with nulls
+    //      first — struct ordering ≡ the multi-column sort order; concat_ws
+    //      semantics (null event_type skipped, no separator) preserved. ----
+    "q_assembly" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val ev = eventsDf(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val outSchema = StructType(Seq(
+        StructField("user_id", ev.schema("user_id").dataType, ev.schema("user_id").nullable),
+        StructField("doc", StringType, nullable = false),
+        StructField("n_events", LongType, nullable = false)))
+      ev.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .mapPartitions { rows =>
+          new Iterator[org.apache.spark.sql.Row] {
+            private var pending: org.apache.spark.sql.Row = _
+            private val sb = new java.lang.StringBuilder(1024)
+            override def hasNext: Boolean = pending != null || rows.hasNext
+            override def next(): org.apache.spark.sql.Row = {
+              var r = if (pending != null) pending else rows.next()
+              pending = null
+              val key = r.get(0)
+              sb.setLength(0)
+              var first = true
+              var n = 0L
+              var done = false
+              while (!done) {
+                n += 1
+                if (!r.isNullAt(3)) {
+                  if (first) first = false else sb.append(' ')
+                  sb.append(r.getString(3))
+                }
+                if (rows.hasNext) {
+                  val nxt = rows.next()
+                  if (java.util.Objects.equals(nxt.get(0), key)) r = nxt
+                  else { pending = nxt; done = true }
+                } else done = true
+              }
+              org.apache.spark.sql.Row(key, sb.toString, n)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+    }),
 
     // ---- exact dedup: md5 hash-groupBy with planted self-union dups ----
     "q_exact_dedup" -> ((s, dir) => {
