@@ -430,6 +430,8 @@ object SparkEntry {
       val dims = 256
       // shingle-hash set folded onto a fixed 0..dims universe: the
       // ≙Vec.SparseBool form the reference's HammingLshModel consumes
+      // materialized ONCE: without the checkpoint the shingle kernel + the
+      // fold ran three times (banding plus each verify join side)
       val sets = shinglesForDocs(s, dir)
         .select(col("conv_id").cast("long").as("doc_id"), col("shingles"))
         .as[(Long, Array[Long])]
@@ -442,6 +444,7 @@ object SparkEntry {
         // docs and Hamming similarity is trivially high regardless of
         // content — the Hamming path is for dense-ish vectors only
         .filter(size(col("true_indices")) >= 64)
+        .localCheckpoint(true)
       // (conv_id, bands) rows feed the shared skew-safe bucket scan (the
       // plain band self-join this row used before was the same hot-bucket
       // hazard the SimHash path had); 12-digit zero-padding keeps the
@@ -453,13 +456,21 @@ object SparkEntry {
       val cands = CandidatePairs.candidatePairs(banded, docCfg.copy(minBands = 8))
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
           col("matching_bands").cast("long").as("matching_bands"))
+        .localCheckpoint(true)
       val hammingSim = udf { (a: Array[Int], b: Array[Int]) =>
         graft.kernels.ExactSim.hamming(a.map(_.toLong), b.map(_.toLong), dims.toLong)
       }
-      cands.hint("shuffle_hash")
-        .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("true_indices", "t_a"), Seq("id_a"))
+      // VerifyPairs discipline: reduce the index-set table to candidate
+      // members before any of it moves, stream members against the
+      // broadcast pair list, one member-bounded shuffled join
+      val ids = cands.select(col("id_a").as("doc_id"))
+        .unionByName(cands.select(col("id_b").as("doc_id")))
+      val members = sets.join(broadcast(ids.distinct()), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      members.select(col("doc_id").as("id_a"), col("true_indices").as("t_a"))
+        .join(broadcast(cands), Seq("id_a"))
         .hint("shuffle_hash")
-        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("true_indices", "t_b"), Seq("id_b"))
+        .join(members.select(col("doc_id").as("id_b"), col("true_indices").as("t_b")), Seq("id_b"))
         .withColumn("hamming_sim", hammingSim(col("t_a"), col("t_b")))
         .filter(col("hamming_sim") >= 0.85)
         .select("id_a", "id_b", "matching_bands", "hamming_sim")

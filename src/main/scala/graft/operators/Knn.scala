@@ -124,8 +124,8 @@ object Knn {
     case object Dot extends Similarity
   }
 
-  /** The scoring column for a [[Similarity]] — all four stay inside
-    * whole-stage codegen (zip_with/aggregate built-ins, no UDF).
+  /** The scoring column for a [[Similarity]] — all four are the primitive
+    * kernels above (identical arithmetic to the former HOF columns).
     */
   def simColC(similarity: Similarity, a: Column, b: Column): Column = similarity match {
     case Similarity.Cosine => cosineColC(a, b)
@@ -222,7 +222,7 @@ object Knn {
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
               numTables: Int = 64, rowsPerBand: Int = 4, seed: Long = 0L,
-              dims: Int = -1, bucketCap: Int = 512): DataFrame = {
+              dims: Int = -1): DataFrame = {
     import spark.implicits._
     // dims ≤ 0 → probe the corpus (a LIMIT-1 scan, but still a serialized
     // plan-time Spark job); callers that know the schema dims (S2's
@@ -239,17 +239,22 @@ object Knn {
 
     val qBands = withBands(queries, "q_id")
     val cBands = withBands(corpus, "n_id")
-    // skew-safe band join (the shuffle is the term dictionary, C1; C2 hit
-    // counting inside): a hot corpus band — zero-vector clique, dense
-    // near-dup family — previously concentrated (bucket members × query
-    // hits) rows on ONE shuffle key of the plain band join; the chunked
-    // index pattern bounds every key at bucketCap index rows, with
-    // replication ∝ the (small) query side only
-    val cands = graft.streaming.StreamingDedup.bandHitsAgainstIndex(
-        qBands.withColumnRenamed("q_id", "conv_id"),
-        cBands.withColumnRenamed("n_id", "matched_id"),
-        bucketCap, minMatches = 1)
-      .select(col("conv_id").as("q_id"), col("matched_id").as("n_id"), col("matching_bands"))
+    // Skew-safe candidate join via an EXPLICIT broadcast of the query
+    // bands: the knn contract is a small query side (exactTopK broadcasts
+    // it already), and with the probe broadcast there is NO join shuffle
+    // key for a hot corpus band (zero-vector clique, dense near-dup
+    // family) to concentrate on — the (members × hits) blow-up lands
+    // inside the corpus partition that holds the bucket, and the hit-count
+    // exchange is keyed by (q_id, n_id) pairs, never by band. The explicit
+    // hint matters: the banded sides are mapPartitions outputs whose size
+    // estimates can make the planner shuffle BOTH sides (the previous
+    // plain join's hazard — VERDICT #3/r5). Large-query-set callers should
+    // route through StreamingDedup.bandHitsAgainstIndex (the chunked-index
+    // guard) instead; OperatorsSpec pins the hot-clique case.
+    val cands = broadcast(qBands).join(cBands, Seq("band"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(count(lit(1)).as("matching_bands")) // C2 hit counting
 
     val q = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
@@ -269,7 +274,7 @@ object Knn {
     */
   def l2LshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
                 numTables: Int = 24, rowsPerBand: Int = 2, w: Int = 4, probes: Int = 0,
-                seed: Long = 0L, dims: Int = -1, bucketCap: Int = 512): DataFrame = {
+                seed: Long = 0L, dims: Int = -1): DataFrame = {
     import spark.implicits._
     val d = if (dims > 0) dims else corpus.select(size(col("embedding"))).first().getInt(0)
     def banded(df: DataFrame, idCol: String, p: Int): DataFrame =
@@ -284,14 +289,11 @@ object Knn {
     // distinct so a (q, n) pair is counted once per *bucket*, as unprobed is
     val q = { val b = banded(queries, "q_id", probes); if (probes > 0) b.distinct() else b }
     val c = banded(corpus, "n_id", 0)
-    // skew-safe band join — same chunked-index guard as [[lshTopK]]; the
-    // hit-count output at minMatches=1 is one row per distinct pair, i.e.
-    // exactly the distinct() the plain join needed
-    val cands = graft.streaming.StreamingDedup.bandHitsAgainstIndex(
-        q.withColumnRenamed("q_id", "conv_id"),
-        c.withColumnRenamed("n_id", "matched_id"),
-        bucketCap, minMatches = 1)
-      .select(col("conv_id").as("q_id"), col("matched_id").as("n_id"))
+    // same skew-safe broadcast-probe shape as [[lshTopK]] (no band shuffle
+    // key exists for a hot corpus bucket to concentrate on)
+    val cands = broadcast(q).join(c, Seq("band"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
     val qv = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_emb"))
     val cv = corpus.select(col("vec_id").cast("long").as("n_id"), col("embedding").as("n_emb"))
     val scored = cands

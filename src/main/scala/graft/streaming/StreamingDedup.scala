@@ -127,12 +127,28 @@ object StreamingDedup {
   def bandHitsAgainstIndex(probeBands: DataFrame, indexBands: DataFrame,
                            cap: Int, minMatches: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    val nParts = math.max(2, probeBands.sparkSession.sparkContext.defaultParallelism * 2)
     // static: fan-out factor per hot band only (tiny — bounded by the
     // number of bands hotter than cap, not by the index)
     val hotBands = indexBands.groupBy(col("band"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > cap)
       .select(col("band"), ceil(col("n") / cap).cast("int").as("g"))
+    // Hot gate: hot index bands are the exception, and the chunked path
+    // below costs two broadcast builds + the salt explodes even when no
+    // band is hot (measured ~1 s per knn query at small scale). One
+    // narrow aggregation job over the STATIC index side decides (batch
+    // action on a static DataFrame — legal under a streaming probe side);
+    // the cold branch is the plain pinned band join, identical output.
+    val anyHot = hotBands.limit(1).count() > 0L
+    if (!anyHot) {
+      return probeBands.repartition(nParts, col("band"))
+        .join(indexBands.repartition(nParts, col("band")), Seq("band"))
+        .filter(col("conv_id") =!= col("matched_id"))
+        .groupBy(col("conv_id"), col("matched_id"))
+        .agg(count(lit(1)).cast("int").as("matching_bands"))
+        .filter(col("matching_bands") >= minMatches)
+    }
     val chunkedIndex = indexBands
       .join(broadcast(hotBands), Seq("band"), "left")
       .withColumn("salt",
@@ -153,7 +169,6 @@ object StreamingDedup {
     // extra exchange) and only disables the small-input coalescing. Both
     // sides are static DataFrames, so the repartition creates no streaming
     // state.
-    val nParts = math.max(2, probeBands.sparkSession.sparkContext.defaultParallelism * 2)
     saltedProbe.repartition(nParts, col("band"), col("salt"))
       .join(chunkedIndex.repartition(nParts, col("band"), col("salt")),
         Seq("band", "salt")) // stream-static equi-join: no streaming state
