@@ -126,27 +126,26 @@ object CandidatePairs {
   /** All unordered candidate pairs (id_a < id_b) with the number of
     * matching bands. Complete (no recall loss from capping).
     *
-    * Shape: ONE hash exchange of the posting rows, sorted by band within
-    * each partition, materialized ONCE as the narrow (band, conv_id)
-    * checkpoint — ~20 B/row, partitioning and sort order preserved — then
-    * two fused streaming passes over those in-memory blocks:
-    *
-    *   - the PAIR pass enumerates each small (≤ bucketCap) bucket and
-    *     streams its pairs STRAIGHT INTO the hit-count aggregation's
-    *     map-side partials (no intermediate materialization: the previous
-    *     shape checkpointed the enumerated pair rows — quadratic in bucket
-    *     sizes, 2.5M rows on the 3k-doc events corpus vs 114k postings —
-    *     then filtered that block store twice; the pair stream is ~20× the
-    *     postings there and the block-store roundtrip was the dominant cost
-    *     of the stage);
-    *   - the HOT pass re-reads the same sorted checkpoint and emits only
-    *     the postings of oversized buckets for the salted block join —
-    *     empty output (one cheap narrow scan, no exchange) on corpora
-    *     without hot bands.
+    * Shape (common, no-hot-band case — ONE fused pass, nothing
+    * materialized but the aggregated candidates): the posting rows take
+    * one hash exchange, a Tungsten sort by band, and a streaming run scan
+    * that enumerates each small (≤ bucketCap) bucket STRAIGHT INTO the
+    * hit-count aggregation's map-side partials. The eager materialization
+    * of the aggregated output (bounded by candidate density — orders of
+    * magnitude below the raw pair stream) doubles as the hot-band probe:
+    * the scan counts oversized runs into an accumulator, and only when
+    * that count is non-zero does the salted block-join subtree get built
+    * at all, re-deriving the hot postings from the source (a second
+    * explode+sort pass, paid ONLY on hot corpora). Earlier shapes either
+    * checkpointed the full enumerated pair stream (quadratic in bucket
+    * sizes — 2.5M rows vs 114k postings on the events corpus, the
+    * dominant cost of the stage) or checkpointed the postings and
+    * re-scanned them per consumer (~20 s of the narrow-width 600k-conv
+    * candidate phase); this shape stores neither.
     *
     * No counts aggregation, no count join, no band self-join (the round-4
-    * join shape re-read the postings exchange up to 4× and probed a
-    * bucket-count hash relation per read). Each pass buffers at most one
+    * join shape re-read the postings exchange up to 4x and probed a
+    * bucket-count hash relation per read). The scan buffers at most one
     * run AND at most bucketCap+1 rows — memory is O(bucketCap) regardless
     * of how hot a band is.
     */
@@ -157,38 +156,47 @@ object CandidatePairs {
 
     val cap = cfg.bucketCap
     val outerDesc = spark.sparkContext.getLocalProperty("spark.job.description")
-    spark.sparkContext.setJobDescription("candidates:scan")
     // EXPLICIT partition count: AQE sizes post-shuffle partitions by the
     // exchanged posting BYTES, but this exchange feeds a pair enumeration
     // whose output is quadratic in bucket sizes — on a corpus with many
     // mid-size buckets AQE coalesces the postings to ONE partition and a
     // single task enumerates millions of pairs serially (measured 3-4 s of
-    // the events-corpus pairs stage). 2× cluster parallelism (scale-adaptive,
+    // the events-corpus pairs stage). 2x cluster parallelism (scale-adaptive,
     // not a constant) keeps the enumeration width-parallel with load-balance
-    // slack while bounding the per-stage task overhead the checkpointed
-    // 128-partition alternative imposed on every downstream stage (guide §8:
-    // the operator knows the blow-up, the optimizer cannot; a band's bucket
-    // is always one partition either way — extra partitions only separate
-    // DIFFERENT buckets, so width × 2 captures the available spread).
+    // slack while bounding per-stage task overhead (guide §8: the operator
+    // knows the blow-up, the optimizer cannot; a band's bucket is always one
+    // partition either way — extra partitions only separate DIFFERENT
+    // buckets, so width x 2 captures the available spread).
     val scanParts = math.max(2, spark.sparkContext.defaultParallelism * 2)
-    // The narrow postings are the ONLY materialization: LogicalRDD keeps
-    // the hash partitioning AND the within-partition band order, so both
-    // passes below are exchange-free, sort-free streaming scans.
-    val postings = sigs
+    def postings = sigs
       .select(col("conv_id"), explode(col("bands")).as("band"))
       .repartition(scanParts, col("band"))
       .sortWithinPartitions(col("band"))
       .select(col("band"), col("conv_id")).as[(Long, String)]
-      .localCheckpoint(true)
-    spark.sparkContext.setJobDescription(outerDesc)
 
-    // ---- pair pass: small buckets → pairs, fused into the aggregation ----
-    val smallPairs = postings
+    // The gate accumulator: the pair scan counts oversized runs as it
+    // skips them. At-least-once semantics (a retried task can re-count)
+    // can only inflate a non-zero value — a zero reading proves no hot
+    // band exists, which is all the branch below needs.
+    val hotRunGate = spark.sparkContext.longAccumulator("graft.candidates.hot_runs")
+
+    // ---- the fused scan: explode -> exchange -> sort -> run scan ->
+    //      map-side partial agg -> exchange -> final agg, materialized
+    //      eagerly (the output is the smallest set in the operator and
+    //      verify re-checkpoints candidates anyway) ----
+    spark.sparkContext.setJobDescription("candidates:scan")
+    val smallAgg = postings
       .mapPartitions { iter =>
         new RunScan[(String, String)](iter, cap,
           emit = (_, ids0, overflowed) =>
-            if (overflowed) Iterator.empty // hot runs pair up in the salted path
-            else {
+            if (overflowed) {
+              // hot runs pair up in the salted path; count them for the
+              // gate + the lineage metrics (this scan always runs exactly
+              // once — the salted subtree never touches the counters)
+              hotRunGate.add(1)
+              metrics.foreach { m => m.hotBuckets.add(1); m.hotPostings.add(ids0.length) }
+              Iterator.empty
+            } else {
               // Duplicate conv_ids within one bucket (duplicate input rows,
               // a conv repeated across sources) must count as ONE posting:
               // emitting (dup, other) once per occurrence would inflate
@@ -206,69 +214,55 @@ object CandidatePairs {
                 if (cpLt(x, y)) (x, y) else (y, x)
               }
             },
-          emitTail = (_, _) => Iterator.empty)
-      }
-      .toDF("id_a", "id_b")
-
-    // ---- hot pass: oversized buckets → their postings, for the salted
-    //      block join (usually an empty-output scan of the same blocks).
-    //      Metrics ride the probe scan only (it always runs exactly once —
-    //      the salted subtree's re-scans must not re-count). ----
-    def hotPass(withMetrics: Boolean) = postings
-      .mapPartitions { iter =>
-        val m = if (withMetrics) metrics else None
-        new RunScan[(Long, String)](iter, cap,
-          emit = (band, ids, overflowed) =>
-            if (!overflowed) Iterator.empty
-            else {
-              m.foreach { x => x.hotBuckets.add(1); x.hotPostings.add(ids.length) }
-              ids.iterator.map(id => (band, id))
-            },
-          emitTail = (band, id) => {
-            m.foreach(_.hotPostings.add(1))
-            Iterator.single((band, id))
+          emitTail = (_, _) => {
+            metrics.foreach(_.hotPostings.add(1))
+            Iterator.empty
           })
       }
-      .toDF("band", "conv_id")
-    val hotPostings = hotPass(withMetrics = false)
-
-    // ---- hot short-circuit: ONE narrow scan decides whether the salted
-    //      machinery is needed at all. Hot bands are the exception (most
-    //      corpora have none after exact-dup collapse), but the salted
-    //      subtree below costs ~5 stages (distinct, counts, two fan-out
-    //      scans, the block join) that would each re-scan the postings
-    //      checkpoint and run as separate AQE jobs even over empty input.
-    //      The probe is a full count (not isEmpty — CollectLimit's scale-up
-    //      re-runs the result stage several times on empty input) and also
-    //      fills the hot metrics exactly once.
-    spark.sparkContext.setJobDescription("candidates:hotprobe")
-    val nHotPostings = hotPass(withMetrics = true).count()
+      .toDF("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("small_bands"))
+      .localCheckpoint(eager = true)
     spark.sparkContext.setJobDescription(outerDesc)
-    if (nHotPostings == 0L) {
-      return smallPairs
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).cast("int").as("matching_bands"))
+
+    // ---- hot short-circuit: zero oversized runs (the usual case after
+    //      exact-dup collapse) means the aggregated counts are already
+    //      complete — return without building the ~5-stage salted subtree ----
+    if (hotRunGate.value == 0L) {
+      return smallAgg
+        .select(col("id_a"), col("id_b"), col("small_bands").as("matching_bands"))
         .filter(col("matching_bands") >= cfg.minBands)
     }
 
-    // ---- oversized buckets: salted block decomposition ----
-    // Bucket sizes for the chunk count come from a groupBy over the HOT
-    // postings only (bounded by hot-band membership — tiny next to the
-    // corpus), broadcast back onto them.
-    // distinct mirrors the pair pass's per-bucket id dedupe: duplicate
-    // (band, conv_id) postings must not multiply pair emissions. Bounded by
-    // hot-band membership, so the extra exchange is tiny next to the corpus.
-    val hot = hotPostings.distinct()
+    // ---- oversized buckets (rare branch): salted block decomposition.
+    //      The hot postings are re-derived from the source — a second
+    //      explode+sort pass paid only on corpora that actually have hot
+    //      bands. distinct mirrors the pair pass's per-bucket id dedupe;
+    //      materialized once because it feeds the counts aggregation and
+    //      both block-join replicas. ----
+    spark.sparkContext.setJobDescription("candidates:hot")
+    val hot = postings
+      .mapPartitions { iter =>
+        new RunScan[(Long, String)](iter, cap,
+          emit = (band, ids, overflowed) =>
+            if (!overflowed) Iterator.empty
+            else ids.iterator.map(id => (band, id)),
+          emitTail = (band, id) => Iterator.single((band, id)))
+      }
+      .toDF("band", "conv_id")
+      .distinct()
+      .localCheckpoint(eager = true)
+    spark.sparkContext.setJobDescription(outerDesc)
     val hotCounts = hot.groupBy(col("band")).agg(count(lit(1)).as("n"))
     val big = hot.join(broadcast(hotCounts), Seq("band"))
       .withColumn("g", ceil(col("n") / cap).cast("int"))
       .withColumn("chunk", pmod(xxhash64(col("conv_id")), col("g")).cast("int"))
 
-    // left replica: row with chunk ci participates in blocks (ci, cj) ∀ cj ≥ ci
+    // left replica: row with chunk ci participates in blocks (ci, cj) for cj >= ci
     val lhs = big
       .withColumn("cj", explode(sequence(col("chunk"), col("g") - 1)))
       .select(col("band"), col("chunk").as("ci"), col("cj"), col("conv_id").as("id_a"))
-    // right replica: row with chunk cj participates in blocks (ci, cj) ∀ ci ≤ cj
+    // right replica: row with chunk cj participates in blocks (ci, cj) for ci <= cj
     val rhs = big
       .withColumn("ci", explode(sequence(lit(0), col("chunk"))))
       .select(col("band"), col("ci"), col("chunk").as("cj"), col("conv_id").as("id_b"))
@@ -299,11 +293,13 @@ object CandidatePairs {
       case None => bigPairs
     }
 
-    // ---- candidate aggregation (hit counting, C2) + threshold (C3/C4) ----
-    smallPairs
-      .unionByName(bigPairsCounted)
+    // ---- final hit counting (C2) + threshold (C3/C4): the aggregated
+    //      small-bucket counts merge with one row per salted band hit —
+    //      sum = total shared bands, exactly the single-aggregation result ----
+    smallAgg.select(col("id_a"), col("id_b"), col("small_bands").as("cnt"))
+      .unionByName(bigPairsCounted.select(col("id_a"), col("id_b"), lit(1).cast("int").as("cnt")))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).cast("int").as("matching_bands"))
+      .agg(sum(col("cnt")).cast("int").as("matching_bands"))
       .filter(col("matching_bands") >= cfg.minBands)
   }
 
