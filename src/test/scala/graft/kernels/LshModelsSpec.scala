@@ -37,6 +37,32 @@ class SimHashModelSpec extends AnyFunSuite with Matchers {
     d should (be >= 16 and be <= 48)
   }
 
+  test("SWAR vote counting is bit-identical to the scalar reference loop") {
+    // the scalar form the SWAR packing replaced — any lane-overflow or
+    // flush-boundary bug in the packed counters shows up here, including
+    // at block sizes straddling the 255-shingle flush
+    def scalarFingerprint(shingles: Array[Long], seed: Long): Long = {
+      if (shingles.isEmpty) return 0L
+      val ones = new Array[Int](64)
+      var i = 0
+      while (i < shingles.length) {
+        val h = Hashing.mix64(shingles(i) ^ seed)
+        var b = 0
+        while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (2 * ones(b) > shingles.length) fp |= (1L << b); b += 1 }
+      fp
+    }
+    val rng = new Random(99)
+    for (n <- Seq(1, 2, 7, 254, 255, 256, 511, 513, 2048); seed <- Seq(0L, 42L)) {
+      val s = Array.fill(n)(rng.nextLong())
+      SimHashModel.fingerprint(s, seed) shouldBe scalarFingerprint(s, seed)
+    }
+  }
+
   test("bands: count, determinism, full-collision for identical fingerprints") {
     val fp = 0x0123456789abcdefL
     val b = SimHashModel.bands(fp, 8)
