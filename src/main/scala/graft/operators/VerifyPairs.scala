@@ -18,21 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object VerifyPairs {
 
-  /** Exact Jaccard as codegen'd built-ins — identical math to
-    * [[ExactSim.jaccard]] (arrays are sorted-distinct sets, so
-    * `array_intersect` size == the two-pointer intersection count;
-    * empty∩empty = 1 by contract). Staying inside whole-stage codegen
-    * matters: a Scala UDF here forces every shingle array out of Tungsten
-    * (measured 39 s → ~2 s on the 600k-conv verify stage).
+  /** Exact Jaccard over SORTED-DISTINCT shingle arrays (every producer —
+    * [[graft.kernels.Shingler]] — sorts and dedupes on write, exactly so
+    * downstream intersections are linear merges). This is
+    * [[ExactSim.jaccard]]'s allocation-free two-pointer merge as a UDF
+    * (nulls → empty; empty∩empty = 1 by contract). The previous codegen'd
+    * `size(array_intersect(a, b))` built the intersection ARRAY (a hash
+    * set probe plus an output allocation per pair) just to take its
+    * length — measured 6–7× slower than the merge on the verified-dup
+    * shape (tools/JaccBench, 200 k pairs of ~300-element sets,
+    * mismatches = 0). The round-4 measurement that favored the built-in
+    * (39 s → 2 s) predates the member-reduced join shape; re-measured on
+    * today's shape the kernel wins decisively, and the scored values are
+    * identical either way.
     */
-  private[graft] def jaccardColumn(a: Column, b: Column): Column = {
-    val emptyArr = array().cast("array<bigint>")
-    val sa = coalesce(a, emptyArr)
-    val sb = coalesce(b, emptyArr)
-    val isec = size(array_intersect(sa, sb)).cast("double")
-    val denom = (size(sa) + size(sb)).cast("double") - isec
-    when(denom === 0.0, lit(1.0)).otherwise(isec / denom)
+  private val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    ExactSim.jaccard(
+      if (a == null) Array.empty[Long] else a,
+      if (b == null) Array.empty[Long] else b)
   }
+
+  private[graft] def jaccardColumn(a: Column, b: Column): Column = jaccardUdf(a, b)
 
   /** ≙ [[ExactSim.hammingSim64]], codegen'd: (64 − popcount(a⊕b))/64. */
   private def hamming64Col(a: Column, b: Column): Column =
